@@ -1,0 +1,8 @@
+from .dedup import (  # noqa: F401
+    keep_newest,
+    keep_last,
+    drop_all_duplicates,
+    drop_null_keys,
+)
+from .upsert import upsert  # noqa: F401
+from .flatten import explode_outer_prefixed  # noqa: F401

@@ -1,0 +1,175 @@
+"""Guarded keyed upsert — the reference's MERGE semantics on plain Spark.
+
+Replicates SURVEY.md §2.2 K4-K6 (T-SQL ``MERGE ... WHEN MATCHED AND
+(target.order < source.order OR any guard column changed) THEN UPDATE``,
+``WHEN NOT MATCHED THEN INSERT``) as a pure DataFrame program:
+
+1. dedup incoming batch by key (one of the three modes in ``dedup.py``);
+2. full-outer join target vs source on the natural key;
+3. per-row resolve: source wins iff target missing, target stale
+   (``target.order_col < source.order_col``), or any guard column differs;
+4. ETL-metadata carve-out: ``etl_created_at`` keeps the target's value on
+   update; ``etl_updated_at`` is bumped to the batch time on every applied
+   update (tiktok_shop_staging_loader.py:382-468).
+
+Idempotence / replay-safety (SURVEY §2.8 ST3): re-applying a batch is a
+no-op; an older order_col never regresses a newer row.
+
+Scale note (100 TB): a naive full-outer join rewrites the whole table per
+batch. ``upsert_partitioned`` therefore hash-buckets the table by key and
+joins only the buckets the batch touches (dynamic partition overwrite) —
+work proportional to the batch's key spread, not table size. The
+incremental batch is tiny relative to the table, so the join side of the
+touched partitions is broadcast-eligible and AQE will pick that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import drop_null_keys, keep_newest
+
+ETL_COLS = ("etl_batch_id", "etl_created_at", "etl_updated_at", "etl_source")
+
+
+def _any_guard_changed(guard_cols: Sequence[str]) -> Column:
+    """OR of null-safe inequality over guard columns (t.<=>s negated)."""
+    cond = F.lit(False)
+    for g in guard_cols:
+        cond = cond | ~F.col(f"t.{g}").eqNullSafe(F.col(f"s.{g}"))
+    return cond
+
+
+def resolve_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    guard_cols: Sequence[str] = (),
+    batch_time: Column | None = None,
+) -> DataFrame:
+    """Pure (no I/O) MERGE resolve: returns the post-upsert table contents.
+
+    Both inputs must share the same schema. ``guard_cols``: update also
+    applies when target/source differ on any of these even if order_col
+    ties (the reference's "status/tracking changed" OR-guard,
+    tiktok_shop_staging_loader.py:382-404).
+    """
+    cols = target.columns
+    source = drop_null_keys(keep_newest(source, keys, order_col), keys)
+
+    t = target.alias("t")
+    s = source.alias("s")
+    on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+
+    joined = t.join(s, cond, "full_outer")
+
+    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    s_exists = F.col(f"s.{keys[0]}").isNotNull()
+    stale = F.col(f"t.{order_col}").isNull() | (
+        F.col(f"t.{order_col}") < F.col(f"s.{order_col}")
+    )
+    update_applies = s_exists & t_exists & (stale | _any_guard_changed(guard_cols))
+    take_source = (~t_exists & s_exists) | update_applies
+
+    if batch_time is None:
+        batch_time = F.current_timestamp()
+
+    out_cols = []
+    for c in cols:
+        src = F.col(f"s.{c}")
+        tgt = F.col(f"t.{c}")
+        if c == "etl_created_at":
+            # insert: source's; update: target's original creation time
+            expr = F.when(t_exists, tgt).otherwise(src)
+        elif c == "etl_updated_at":
+            expr = F.when(update_applies, batch_time).when(take_source, src).otherwise(tgt)
+        else:
+            expr = F.when(take_source, src).otherwise(tgt)
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
+
+
+def upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    order_col: str,
+    guard_cols: Sequence[str] = (),
+    num_buckets: int = 64,
+) -> None:
+    """Apply a guarded keyed upsert batch to a parquet table at ``table_path``.
+
+    The table is stored hash-bucketed on the key (``bucket=pmod(hash(keys),
+    num_buckets)`` as a partition column). Only buckets containing batch
+    keys are read + rewritten (partition pruning on the bucket filter), so
+    per-batch work scales with batch size, not table size. At 100 TB a
+    second partition level (e.g. etl_date) would bound file counts further.
+    """
+    bucket_expr = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets)).alias(
+        "__bucket"
+    )
+    source_b = source.withColumn("__bucket", bucket_expr)
+
+    if not os.path.exists(table_path):
+        deduped = drop_null_keys(keep_newest(source_b, keys, order_col), keys)
+        deduped.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+        return
+
+    touched = [r["__bucket"] for r in source_b.select("__bucket").distinct().collect()]
+    target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))
+    resolved = resolve_upsert(target, source_b, keys, order_col, guard_cols)
+
+    # Rewrite only the touched bucket partitions (dynamic partition overwrite).
+    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    tmp = tempfile.mkdtemp(prefix="upsert_stage_")
+    try:
+        # Stage to a temp dir first: resolved reads from table_path, so we
+        # cannot overwrite it in-place within one job.
+        resolved.write.mode("overwrite").parquet(os.path.join(tmp, "stage"))
+        staged = spark.read.parquet(os.path.join(tmp, "stage"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
+    df = spark.read.parquet(table_path)
+    return df.drop("__bucket") if "__bucket" in df.columns else df
+
+
+def stamp_etl_metadata(
+    df: DataFrame,
+    source_name: str,
+    batch_id: str | None = None,
+    vn_naive: bool = False,
+) -> DataFrame:
+    """T12: add the ETL-metadata quartet (tiktok_shop_transformer.py:368-377).
+
+    TikTok stamps UTC; MISA/Shopee stamp +07-naive at transform
+    (misa_crm_transformer.py:41-60) — ``vn_naive`` selects the convention.
+    """
+    ts = F.current_timestamp()
+    if vn_naive:
+        ts = F.from_utc_timestamp(F.current_timestamp(), "Asia/Ho_Chi_Minh").cast(
+            "timestamp_ntz"
+        )
+    return (
+        df.withColumn("etl_batch_id", F.lit(batch_id or str(uuid.uuid4())))
+        .withColumn("etl_created_at", ts)
+        .withColumn("etl_updated_at", ts)
+        .withColumn("etl_source", F.lit(source_name))
+    )
