@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a cheap count() (no driver-side collect of
+full results) after a warm-up of the session JVM via a trivial action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    # scan/agg/join analytics
+    "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
+    "top_suppliers_per_nation", "sales_rollup", "customer_order_stats",
+    # operator parity
+    "dedup_keep_newest", "merge_upsert_orders", "explode_flatten_orders",
+    "coercion_kernel_events", "sessionize_events", "user_running_totals",
+    # LLM-pipeline extensions
+    "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
+    "brute_force_topk", "lsh_bucketed_topk", "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # JVM/codegen warm-up on a small unrelated action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""LLM-data-pipeline extensions: dedup (exact + near-dup), similarity
+search, text analysis, multimodal columns. New surface beyond the
+reference (driver north star, BASELINE.json), built on the same engine
+substrate. Each module exposes EXT_QUERIES: {name: (fn, oracle_sql|None)}.
+"""
+
+from .text import EXT_QUERIES as TEXT_QUERIES  # noqa: F401
+from .dedup_fuzzy import EXT_QUERIES as DEDUP_QUERIES  # noqa: F401
+from .similarity import EXT_QUERIES as SIMILARITY_QUERIES  # noqa: F401
+from .multimodal import EXT_QUERIES as MULTIMODAL_QUERIES  # noqa: F401
+
+ALL_EXT_QUERIES = {
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
+}

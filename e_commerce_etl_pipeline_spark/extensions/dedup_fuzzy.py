@@ -1,0 +1,352 @@
+"""Document deduplication: exact (hash-groupBy), MinHash+LSH banding over
+word-trigram shingles, n-gram Jaccard verification, SimHash — all as
+JVM-side column programs (no Python UDFs).
+
+Determinism/portability design: hash functions are md5 over strings
+(identical in Spark and DuckDB), and a "min-hash" is the *lexicographic*
+minimum of salted md5 hex digests — an order statistic over a uniform
+hash family, same theory as integer minhash, but computable bit-for-bit
+identically in both engines with built-ins only.
+
+Shingling: word 3-grams, not single words — the standard choice, and
+essential here: near-dup similarity must measure *sequence* overlap, so
+unrelated documents over a shared vocabulary stay dissimilar. LSH bands
+are md5 of concatenated minhashes; candidate pairs come from an
+equi-join on the band key (the scale path: no O(n²) cross join — pairs
+only form inside a bucket, exactly how a 100 TB corpus dedup must work),
+then are verified with exact shingle-set Jaccard.
+
+The corpus for pair queries is documents ∪ a deterministically mutated
+copy (one appended token, doc_id + 1_000_000) so near-duplicate pairs
+exist in the synthetic testdata (whose base texts are all-distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.queries import load_table
+
+N_HASHES = 8
+BAND_SIZE = 4  # -> 2 bands; P(candidate) ~ 1-(1-j^4)^2, high for j >= 0.7
+JACCARD_THRESHOLD = 0.7
+
+
+def shingles_from_words(words: Column) -> Column:
+    """Distinct word-trigram shingles from a *materialized* words column.
+
+    Implementation note: an index-based ``transform(sequence(...), i ->
+    element_at(words, i)...)`` re-evaluates the ``words`` subexpression per
+    element when given an inline expression (no common-subexpression reuse
+    inside codegen'd lambdas) — quadratic in document length. Three
+    O(n) ``slice`` calls + ``zip_with`` keep it linear; callers must pass a
+    column reference (select the split into a column first)."""
+    n = F.size(words)
+    s1 = F.slice(words, 1, F.greatest(n - 2, F.lit(0)))
+    s2 = F.slice(words, 2, F.greatest(n - 2, F.lit(0)))
+    s3 = F.slice(words, 3, F.greatest(n - 2, F.lit(0)))
+    pair = F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(pair, s3, lambda p, c: F.concat_ws(" ", p, c))
+    return F.array_distinct(tri)
+
+
+def shingle_set(text: Column) -> Column:
+    """Distinct word-trigram shingles of lowercased text (single-expression
+    form for tests/small inputs; hot paths split words into a column and
+    call shingles_from_words)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    return shingles_from_words(words)
+
+
+# DuckDB equivalent of shingle_set (words expr -> shingle list)
+SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, len({w}) - 2),"
+    " i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+WORDS_SQL = "string_split_regex(trim(lower({t})), '\\s+')"
+
+
+def minhash_sig(shingles: Column, seed: int) -> Column:
+    """Lexicographic-min of salted md5 digests over the shingle set."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+    )
+
+
+def band_keys(shingles: Column) -> list[Column]:
+    sigs = [minhash_sig(shingles, i) for i in range(N_HASHES)]
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        chunk = sigs[b * BAND_SIZE:(b + 1) * BAND_SIZE]
+        bands.append(F.md5(F.concat_ws("|", *chunk)).alias(f"band_{b}"))
+    return bands
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def _minhash_sql_expr(shingles_expr: str, seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({shingles_expr}, s -> md5(s || '#{seed}')), 'min')"
+    )
+
+
+def _band_sql_exprs(shingles_expr: str) -> list[str]:
+    sigs = [_minhash_sql_expr(shingles_expr, i) for i in range(N_HASHES)]
+    out = []
+    for b in range(N_HASHES // BAND_SIZE):
+        chunk = sigs[b * BAND_SIZE:(b + 1) * BAND_SIZE]
+        # concat_ws('|', ...) parity: COALESCE never needed (shingles >= 1)
+        joined = " || '|' || ".join(chunk)
+        out.append(f"md5({joined}) AS band_{b}")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted exact copies: keep the min
+    doc_id per content fingerprint, count the copies."""
+    from .text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(copies)
+    return (
+        corpus.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash band keys (the LSH bucketing state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingle_set(F.col("text")).alias("__s")).select(
+        "doc_id", *band_keys(F.col("__s"))
+    )
+
+
+_SH = SHINGLES_SQL.format(w="w")
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {WORDS_SQL.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_SH} AS shingles FROM base
+)
+SELECT doc_id, {', '.join(_band_sql_exprs('shingles'))} FROM sh
+"""
+
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzznearduptoken")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: LSH band equi-join -> distinct candidates -> exact
+    shingle-Jaccard verify >= 0.7. The join is per-band bucket (shuffle on
+    band key, no cross join) — the 100 TB-safe shape."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    # Shingling + 8 md5 minhash passes is the expensive map stage; it is
+    # referenced three times below (banding, verify-a, verify-b), so
+    # persist it — one pass over the corpus, not three. (At 100 TB this
+    # would be a checkpointed intermediate table instead of memory cache.)
+    sh = (
+        corpus.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
+        )
+        .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles"))
+        .persist()
+    )
+    # Narrow join payload: the band self-join carries only (doc_id, band);
+    # the (large) shingle arrays re-attach afterwards by key. At corpus
+    # scale this keeps the candidate-generation shuffle tiny.
+    banded = sh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys(F.col("shingles"))))
+        .alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzznearduptoken' FROM documents
+), base AS (
+  SELECT doc_id, {WORDS_SQL.format(t='text')} AS w FROM corpus
+), sh AS (
+  SELECT doc_id, {_SH} AS shingles FROM base
+), banded0 AS (
+  SELECT doc_id, shingles, {', '.join(_band_sql_exprs('shingles'))} FROM sh
+), banded AS (
+  SELECT doc_id, shingles, 0 AS band_idx, band_0 AS band_key FROM banded0
+  UNION ALL
+  SELECT doc_id, shingles, 1 AS band_idx, band_1 AS band_key FROM banded0
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(wa.shingles, wb.shingles))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh wa ON cand.doc_a = wa.doc_id
+JOIN sh wb ON cand.doc_b = wb.doc_id
+WHERE CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(wa.shingles, wb.shingles))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard within lang buckets (bounded pair space) —
+    the exact-verification complement to LSH, and a similarity profile of
+    the corpus (any shared-shingle pair)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = docs.select("doc_id", "lang", shingle_set(F.col("text")).alias("shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sim.alias("jaccard3"),
+        )
+        .filter(F.col("jaccard3") > 0)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {WORDS_SQL.format(t='text')} AS w
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, lang, {_SH} AS shingles FROM base
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard3
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+"""
+
+SIMHASH_BITS = 16
+
+
+def simhash(words: Column) -> Column:
+    """16-bit SimHash: per word, 16 bits from the first 4 hex digits of
+    md5(word); bit votes +1/-1; sign per bit. Emitted as a bit-string so
+    both engines agree exactly."""
+
+    # per-word 16-bit value: first 4 hex digits of md5 -> int (base conv)
+    def word_val(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int")
+
+    vals = F.transform(words, word_val)
+
+    def vote_merge(bit: int):
+        # closure, not default-arg lambda (those params would become Columns)
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for bit in range(SIMHASH_BITS - 1, -1, -1):
+        votes = F.aggregate(vals, F.lit(0), vote_merge(bit))
+        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def word_set(text: Column) -> Column:
+    return F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(word_set(F.col("text"))).alias("simhash16"))
+
+
+def _simhash_sql() -> str:
+    word_val = (
+        "(strpos('0123456789abcdef', substr(md5(w),1,1)) - 1) * 4096"
+        " + (strpos('0123456789abcdef', substr(md5(w),2,1)) - 1) * 256"
+        " + (strpos('0123456789abcdef', substr(md5(w),3,1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(w),4,1)) - 1)"
+    )
+    bit_exprs = []
+    for bit in range(SIMHASH_BITS - 1, -1, -1):
+        votes = (
+            f"list_sum(list_transform(vals, v -> CASE WHEN (v // {1 << bit}) % 2 = 1"
+            f" THEN 1 ELSE -1 END))"
+        )
+        bit_exprs.append(f"CASE WHEN {votes} >= 0 THEN '1' ELSE '0' END")
+    bits = " || ".join(bit_exprs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({WORDS_SQL.format(t='text')}) AS words
+  FROM documents
+), v AS (
+  SELECT doc_id, list_transform(words, w -> {word_val}) AS vals FROM base
+)
+SELECT doc_id, {bits} AS simhash16 FROM v
+"""
+
+
+EXT_QUERIES = {
+    "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "simhash_docs": (simhash_docs, _simhash_sql()),
+}

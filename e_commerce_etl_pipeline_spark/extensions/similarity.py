@@ -1,0 +1,190 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths, per the large-corpus playbook:
+- brute-force cosine top-k (the exactness baseline): query-set × corpus
+  join, fold-based dot product, window top-k. O(Q×N) — fine for a bounded
+  query set; the corpus side never collects.
+- sign-LSH bucketed top-k (the scale path): 4-bit bucket from the signs
+  of the first 4 dimensions; candidates only join within their bucket —
+  at 100 TB the bucket count grows (more sign bits / IVF centroids) and
+  the join stays shuffle-bounded per bucket.
+
+Float determinism: elements are cast float->double (exact widening) and
+folded strictly left-to-right (F.aggregate over the array; the SQL oracle
+is a generated 64-term left-associated sum) — identical IEEE arithmetic
+in both engines, so ranks match exactly. Output exposes ids + rank, with
+cosine rounded via double ops only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.queries import load_table
+
+DIM = 64
+N_QUERIES = 50  # vec_id < 50 are the query vectors
+TOP_K = 10
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict left-to-right fold — order-stable dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = queries.join(emb, F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "neighbor_id")
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    terms = [
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm_sql(a: str) -> str:
+    terms = [
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({a}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    ]
+    return "sqrt(" + " + ".join(terms) + ")"
+
+
+BRUTE_FORCE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         {_dot_sql('q', 'c')} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, rank, neighbor_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def sign_bucket(v: Column) -> Column:
+    """4-bit LSH bucket from the signs of dims 1-4 (random-hyperplane LSH
+    with axis-aligned planes — deterministic and oracle-able)."""
+    bits = [
+        F.when(F.element_at(v, i) >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << (i - 1))
+        for i in range(1, 5)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: neighbors only within the query's sign bucket, top-3 per query."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket"),
+    )
+    cand = queries.join(emb, ["bucket"]).filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid", "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "bucket", "rank", "neighbor_id")
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+LSH_BUCKETED_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS neighbor_id,
+         {_dot_sql('q', 'c')} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, bucket, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, bucket, rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + exact per-dimension mean over dims 1-4 (decimal-
+    exact: elements scaled to micro-units as longs before summing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = []
+    for i in range(1, 5):
+        x = F.element_at("embedding", i).cast("double")
+        # scale to exact integers (1e-7 resolution) to make SUM associative
+        dims.append(F.sum(F.floor(x * 10_000_000).cast("long")).alias(f"sum_d{i}_scaled"))
+    return emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *dims)
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d1_scaled,
+       SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d2_scaled,
+       SUM(CAST(floor(CAST(embedding[3] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d3_scaled,
+       SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d4_scaled
+FROM embeddings GROUP BY label
+"""
+
+
+EXT_QUERIES = {
+    "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
+    "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
+    "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
+}

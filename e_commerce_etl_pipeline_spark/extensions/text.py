@@ -1,0 +1,180 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, fingerprinting, language-ID heuristic.
+
+All hot-path expressions are JVM-side built-ins (split/regexp/md5/
+higher-order array functions) — no Python UDFs — so they stay inside
+whole-stage codegen and scale linearly with input: a pure map stage, no
+shuffle, at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.queries import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# deterministic marker-word sets for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count regex word/punct chunks (a public approximation:
+    alpha runs, digit runs, single punctuation)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = words_col(text)
+    stops = F.filter(words, lambda w: w.isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.size(words).cast("double")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (content-defined identity for exact dedup)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band + stopword
+    presence + punctuation moderation (integer/double arithmetic only)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.length(text).cast("double")
+    punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + stop_score + punct_score) / F.lit(3.0)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+        (F.col("n_chars") == F.length(t)).alias("n_chars_ok"),
+        stopword_ratio(t).alias("stop_ratio"),
+        fingerprint(t).alias("fingerprint"),
+        quality_score(t).alias("quality"),
+    )
+
+
+_STOP_IN = ",".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       n_chars = length(text) AS n_chars_ok,
+       CAST(len(list_filter(words, w -> w IN ({_STOP_IN}))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS stop_ratio,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       (least(CAST(len(words) AS DOUBLE) / 50.0, 1.0)
+        + least(CAST(len(list_filter(words, w -> w IN ({_STOP_IN}))) AS DOUBLE) / CAST(len(words) AS DOUBLE) * 5.0, 1.0)
+        + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
+               THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+FROM base
+"""
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language profile: docs + chars + mean quality per lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+LANG_DISTRIBUTION_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+FROM documents GROUP BY lang
+"""
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/marker-word language-ID heuristic: argmax of marker hits,
+    'und' (undetermined) when nothing matches. Deterministic tie-break by
+    language code order."""
+    words = words_col(text)
+
+    def marker_hits(markers: list[str]) -> Column:
+        # NB: plain closure, no default-arg lambda params — PySpark's
+        # higher-order functions treat every lambda parameter as a Column
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(LANG_MARKERS):
+        hits = marker_hits(LANG_MARKERS[code])
+        take = hits > best_hits
+        best = F.when(take, F.lit(code)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    # same argmax, same tie-break order, built as nested CASE
+    cases = []
+    for code in sorted(LANG_MARKERS):
+        marker_in = ",".join(f"'{w}'" for w in LANG_MARKERS[code])
+        cases.append(
+            f"len(list_filter(words, w -> w IN ({marker_in}))) AS hits_{code}"
+        )
+    hit_cols = ", ".join(cases)
+    # sequential argmax replication
+    expr = "'und'"
+    best = "0"
+    for code in sorted(LANG_MARKERS):
+        expr = f"CASE WHEN hits_{code} > {best} THEN '{code}' ELSE {expr} END"
+        best = f"greatest(hits_{code}, {best})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents
+), hits AS (
+  SELECT doc_id, {hit_cols} FROM base
+)
+SELECT doc_id, {expr} AS lang_pred FROM hits
+"""
+
+
+EXT_QUERIES = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "lang_distribution": (lang_distribution, LANG_DISTRIBUTION_SQL),
+    "lang_id_docs": (lang_id_docs, _lang_id_sql()),
+}

@@ -79,7 +79,15 @@ def resolve_upsert(
     stale = F.col(f"t.{order_col}").isNull() | (
         F.col(f"t.{order_col}") < F.col(f"s.{order_col}")
     )
-    update_applies = s_exists & t_exists & (stale | _any_guard_changed(guard_cols))
+    # The reference's OR-guard ("update_time newer OR status/tracking
+    # changed", tiktok_shop_staging_loader.py:382-404) constrained by the
+    # replay invariant (FIXTURES.md §5.4: an older record never overwrites
+    # a newer one): the changed-columns guard only fires when the source is
+    # not older — i.e. equal order_col but different guard values.
+    same_version = F.col(f"t.{order_col}").eqNullSafe(F.col(f"s.{order_col}"))
+    update_applies = s_exists & t_exists & (
+        stale | (same_version & _any_guard_changed(guard_cols))
+    )
     take_source = (~t_exists & s_exists) | update_applies
 
     if batch_time is None:

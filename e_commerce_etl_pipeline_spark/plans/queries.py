@@ -1,0 +1,584 @@
+"""The engine's declared query surface: every entry pairs a Spark
+DataFrame program with an ANSI-SQL oracle DuckDB can run on the same
+parquet tables (driver contract, __spark_entry__.py).
+
+Determinism rules (so Spark and DuckDB hash-match on values):
+- money/metric doubles are cast per-value to DECIMAL before SUM — decimal
+  addition is exact and associative, so shuffle/aggregation order can't
+  change a bit (double SUM order-sensitivity would);
+- averages are exact decimal sums cast to double, divided by counts —
+  never engine AVG (engines disagree on decimal division scale);
+- every LIMIT has a total ORDER BY (unique tie-break key);
+- column names are aliased identically on both sides.
+
+Query families map to SURVEY.md §2: A* aggregates, D* dedup modes, J2
+upsert-merge, T1/T8 explode flatten, F* coercions, plus TPC-H-shaped
+analytics over the driver's star schema (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-settable; needed even when the session wasn't built by
+        # session.get_spark (e.g. the driver's own harness session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver's events table carries TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
+    # Truncate to microseconds — exactly what DuckDB's reader does — so
+    # both engines see identical instants. Integer div: ns values (~1.7e18)
+    # exceed double's 2^53 exact range, so no float path.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})") if isinstance(c, str) else c.cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped analytics (the reference's query surface generalized; the
+# reference's own aggregates A1-A6 appear as load_stats / row-count queries)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg; map-side partial agg, one
+    shuffle on the 2-value group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 4, 2)
+    price = _dec("l_extendedprice")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)
+                  * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 4, 2))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-k with total order.
+    customer side is small -> broadcast; lineitem⋈orders shuffles on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-15")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join; dims broadcast, facts shuffle once."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue)
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ranking (the reference has none — SURVEY §2.7 — but the
+    analytics layer exposes it): top-3 suppliers by revenue per nation."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("revenue"))
+    )
+    joined = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "revenue", "rk")
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT n_name, s_suppkey, s_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rk
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_suppkey, s_name, revenue, rk FROM ranked WHERE rk <= 3
+"""
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region/nation — grouping-sets surface."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice")).alias("total_sales"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (late lineitems per order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats incl. exact-decimal average; anti-join keeps
+    customers with no orders out (TPC-H Q13 flavor without them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("total_spent"),
+    )
+    out = agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
+    return out.select(
+        F.col("c_custkey"), F.col("c_name"), F.col("n_orders"), F.col("total_spent"),
+        (F.col("total_spent").cast("double") / F.col("n_orders")).alias("avg_order_value"),
+    ).filter(F.col("n_orders") >= 12)
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+WITH agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_orders, total_spent,
+       CAST(total_spent AS DOUBLE) / n_orders AS avg_order_value
+FROM agg JOIN customer ON o_custkey = c_custkey
+WHERE n_orders >= 12
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference-parity operator queries (SURVEY §2 line items, on testdata)
+# --------------------------------------------------------------------------
+
+def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 keep-newest-by-key on the events stream: last event per
+    (user_id, event_type) by ts (tiebreak event_id). Parity:
+    tiktok_shop_staging_loader.py:361-371."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", _dec("value").alias("value"))
+    )
+
+
+DEDUP_KEEP_NEWEST_SQL = """
+SELECT user_id, event_type, event_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def dedup_drop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 drop-ALL-duplicates semantics (misa_crm_loader.py:173-180): events
+    whose (user_id, event_type) key is unique — every row of a duplicated
+    key removed, not keep-one."""
+    from ..operators.dedup import drop_all_duplicates
+
+    ev = load_table(spark, sf_dir, "events")
+    out = drop_all_duplicates(ev, ["event_type", "value"])
+    return out.select("event_id", "user_id", "event_type", _dec("value").alias("value"))
+
+
+DEDUP_DROP_ALL_SQL = """
+SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
+FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type, value) AS cnt FROM events
+) WHERE cnt = 1
+"""
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/K4 guarded MERGE as a query: target = orders; source = a derived
+    change-batch (every 10th order re-priced, 1 day later, status 'U', plus
+    synthetic new keys). Exercises resolve_upsert end-to-end; the oracle
+    expresses the same MERGE in ANSI SQL."""
+    from ..operators.upsert import resolve_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _dec("o_totalprice").alias("o_totalprice"), "o_orderdate", "o_orderpriority",
+    )
+    source = (
+        orders.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") > 0))
+        .withColumn("o_totalprice", (F.col("o_totalprice") + F.lit(1).cast("decimal(18,2)")).cast("decimal(18,2)"))
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    new_keys = source.withColumn("o_orderkey", -F.col("o_orderkey"))
+    src = source.unionByName(new_keys)
+    out = resolve_upsert(orders, src, ["o_orderkey"], "o_orderdate",
+                         guard_cols=["o_orderstatus"])
+    return out
+
+
+MERGE_UPSERT_SQL = """
+WITH src0 AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey > 0
+), src AS (
+  SELECT * FROM src0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM src0
+), tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+def explode_flatten_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T8 explode parity on testdata: nest big-ticket lineitems under
+    their order (collect_list of structs), then explode_outer back —
+    itemless orders must emit exactly one NULL-item row, and
+    total_items_in_order/has_multiple_items must match the reference's
+    array-length derivation (misa_crm_transformer.py:347-366). The oracle
+    is the equivalent relational left join."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    nested = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("l_linenumber").isNotNull(),
+                    F.struct(
+                        F.col("l_linenumber"), F.col("l_partkey"),
+                        _dec("l_quantity").alias("l_quantity"),
+                    ),
+                )
+            ).alias("items")
+        )
+    )
+    from ..operators.flatten import explode_outer_prefixed
+
+    flat = explode_outer_prefixed(
+        nested, "items", [F.col("o_orderkey"), F.col("o_orderstatus")], item_prefix=""
+    )
+    return flat.select(
+        "o_orderkey", "o_orderstatus", "total_items_in_order", "has_multiple_items",
+        "l_linenumber", "l_partkey", "l_quantity",
+    )
+
+
+EXPLODE_FLATTEN_SQL = """
+WITH big AS (SELECT * FROM lineitem WHERE l_quantity >= 45),
+cnt AS (
+  SELECT o_orderkey, COUNT(l_orderkey) AS n
+  FROM orders LEFT JOIN big ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 7 = 0
+  GROUP BY o_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(c.n AS INT) AS total_items_in_order,
+       c.n > 1 AS has_multiple_items,
+       b.l_linenumber, b.l_partkey, CAST(b.l_quantity AS DECIMAL(18,2)) AS l_quantity
+FROM orders o JOIN cnt c ON o.o_orderkey = c.o_orderkey
+LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
+WHERE o.o_orderkey % 7 = 0
+"""
+
+
+def coercion_kernel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5/F7/F10/F11 coercions as a query over events: JSON extraction
+    (get_json_object parity), epoch ms/s heuristic applied to a derived
+    column, null-scrub, decimal parse."""
+    from ..functions.coercions import epoch_to_ts, null_scrub, safe_decimal
+
+    ev = load_table(spark, sf_dir, "events")
+    # derive an epoch col: seconds for even ids, SAME instant in ms for odd
+    epoch = F.when(
+        F.col("event_id") % 2 == 0, F.unix_timestamp("ts").cast("double")
+    ).otherwise(F.unix_timestamp("ts").cast("double") * 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        epoch_to_ts(epoch).alias("ts_normalized"),
+        null_scrub(F.when(F.col("event_type") == "error", "N/A").otherwise(F.col("event_type"))).alias("etype_clean"),
+        safe_decimal("value", 18, 2).alias("value_dec"),
+    )
+
+
+COERCION_KERNEL_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       date_trunc('second', ts) AS ts_normalized,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype_clean,
+       CAST(value AS DECIMAL(18,2)) AS value_dec
+FROM events
+"""
+
+
+def load_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A4 load statistics (get_load_statistics,
+    tiktok_shop_staging_loader.py:482-532): counts, distincts, time range."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("o_orderkey").alias("unique_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )
+
+
+LOAD_STATISTICS_SQL = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT o_orderkey) AS unique_orders,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       MIN(o_orderdate) AS min_orderdate,
+       MAX(o_orderdate) AS max_orderdate
+FROM orders
+"""
+
+
+def row_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per-table row-count report (query/đếm số dòng mỗi bảng.sql)."""
+    dfs = []
+    for t in TABLES:
+        dfs.append(
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+ROW_COUNT_REPORT_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+)
+
+
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-adjacent analytics: per-user running event value (cumulative sum
+    over a deterministic total order) + per-user event sequence number."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.sum(_dec("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_value"),
+    )
+
+
+USER_RUNNING_TOTALS_SQL = """
+SELECT user_id, event_id, ts,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+FROM events
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative flag
+    sum — the standard Spark sessionization shape, SQL-expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_session).withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(_dec("value")).alias("session_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q5_revenue_by_nation": (q5_revenue_by_nation, Q5_SQL),
+    "top_suppliers_per_nation": (top_suppliers_per_nation, TOP_SUPPLIERS_SQL),
+    "sales_rollup": (sales_rollup, SALES_ROLLUP_SQL),
+    "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
+    "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),
+    "dedup_keep_newest": (dedup_keep_newest, DEDUP_KEEP_NEWEST_SQL),
+    "dedup_drop_all": (dedup_drop_all, DEDUP_DROP_ALL_SQL),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
+    "explode_flatten_orders": (explode_flatten_orders, EXPLODE_FLATTEN_SQL),
+    "coercion_kernel_events": (coercion_kernel_events, COERCION_KERNEL_SQL),
+    "load_statistics": (load_statistics, LOAD_STATISTICS_SQL),
+    "row_count_report": (row_count_report, ROW_COUNT_REPORT_SQL),
+    "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+}

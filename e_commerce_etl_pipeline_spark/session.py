@@ -33,6 +33,9 @@ def get_spark(app_name: str = "e_commerce_etl_pipeline_spark",
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep split size default (128m) so 100 TB -> ~800k tasks, fine.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark's
+        # reader rejects; read as long and convert (see plans.queries.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

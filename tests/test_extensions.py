@@ -1,0 +1,154 @@
+"""Extension operators: text analysis, fuzzy dedup, similarity search,
+multimodal plumbing — unit tests on constructed inputs plus property
+checks on the synthetic corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.extensions.dedup_fuzzy import (
+    band_keys,
+    jaccard,
+    minhash_lsh_pairs,
+    shingle_set,
+    simhash,
+    word_set,
+)
+from e_commerce_etl_pipeline_spark.extensions.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+from e_commerce_etl_pipeline_spark.extensions.similarity import (
+    brute_force_topk,
+    cosine,
+)
+from e_commerce_etl_pipeline_spark.extensions.text import lang_id, quality_score, token_count
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat.",), ("word",)], "text string"
+    )
+    out = df.select(
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0].n == 6 and out[1].n == 1
+    assert 0.0 <= out[0].q <= 1.0
+    assert out[0].q > out[1].q  # stopwords + length help
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the house and the tree of life",),
+         ("el gato y la casa de madera",),
+         ("xyzzy qwerty",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d e zzz")], "t1 string, t2 string"
+    )
+    out = df.select(
+        shingle_set(F.col("t1")).alias("s1"),
+        shingle_set(F.col("t2")).alias("s2"),
+    ).select(jaccard(F.col("s1"), F.col("s2")).alias("j")).collect()[0]
+    # t1 shingles: 3, t2 shingles: 4, overlap 3 -> j = 3/4
+    assert out.j == pytest.approx(0.75)
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    out = df.select(F.size(shingle_set(F.col("text"))).alias("n")).collect()[0]
+    assert out.n == 0
+
+
+def test_minhash_identical_docs_same_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"),
+         (3, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", shingle_set(F.col("text")).alias("s")).select(
+        "doc_id", *band_keys(F.col("s"))
+    ).collect()
+    rows = {r.doc_id: (r.band_0, r.band_1) for r in out}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, sf_dir):
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    planted = pairs.filter(F.col("doc_b") == F.col("doc_a") + 1_000_000)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_planted = planted.count()
+    # LSH recall on ~0.9-jaccard planted dups should be near-total
+    assert n_planted >= 0.9 * n_docs
+
+
+def test_simhash_near_dup_close_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated set of tokens apple orange banana")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", simhash(word_set(F.col("text"))).alias("h")).collect()}
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert hamming(out[1], out[2]) <= 4
+    assert hamming(out[1], out[3]) >= hamming(out[1], out[2])
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert out[0] == pytest.approx(0.0)
+    assert out[1] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    out = brute_force_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        assert all(r.neighbor_id != qid for r in rows)
+        assert sorted(r.rank for r in rows) == list(range(1, 11))
+
+
+def test_multimodal_features_match_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_binary(docs)
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    for row in docs.collect():
+        payload = row.text.encode("utf-8")
+        f = feats[row.doc_id]
+        assert f.n_bytes == len(payload)
+        assert f.sum_bytes == sum(payload)
+        assert f.max_byte == max(payload)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+
+
+def test_sample_frames(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = attach_binary(docs)
+    frames = sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 20
+    assert {r.frame_idx for r in frames} == {0, 1, 2, 3}

@@ -1,0 +1,89 @@
+"""Incremental micro-batch semantics (SURVEY §2.8 ST1-ST6): lookback
+window batches, replay idempotence, and a real Structured Streaming
+file-source run through foreachBatch keyed upsert."""
+
+import datetime
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e_commerce_etl_pipeline_spark.operators.upsert import read_upsert_table
+from e_commerce_etl_pipeline_spark.streaming import (
+    incremental_upsert_stream,
+    run_incremental_batch,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("order_id", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("update_time", T.TimestampType()),
+])
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_run_incremental_batch_with_lookback(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    src = spark.createDataFrame(
+        [("o1", "old", ts("2024-01-01T00:00:00")),
+         ("o2", "recent", ts("2024-06-01T00:00:00"))],
+        SCHEMA,
+    )
+    n = run_incremental_batch(
+        spark, src, path, ["order_id"], "update_time",
+        lookback=datetime.timedelta(days=30), now=ts("2024-06-15T00:00:00"),
+    )
+    assert n == 1  # only the in-window row
+    rows = read_upsert_table(spark, path).collect()
+    assert [r.order_id for r in rows] == ["o2"]
+    # replay: same window, no change
+    n2 = run_incremental_batch(
+        spark, src, path, ["order_id"], "update_time",
+        lookback=datetime.timedelta(days=30), now=ts("2024-06-15T00:00:00"),
+    )
+    assert n2 == 1
+    assert read_upsert_table(spark, path).count() == 1
+
+
+def test_structured_streaming_foreachbatch_upsert(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [("o1", "created", ts("2024-01-01T00:00:00")),
+         ("o2", "created", ts("2024-01-01T00:00:00"))],
+        SCHEMA,
+    )
+    batch1.write.mode("overwrite").parquet(str(src_dir / "b1"))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src_dir))
+    q = incremental_upsert_stream(
+        spark, stream, table, ["order_id"], "update_time",
+        guard_cols=["status"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    out = {r.order_id: r.status for r in read_upsert_table(spark, table).collect()}
+    assert out == {"o1": "created", "o2": "created"}
+
+    # second micro-batch: newer update + replayed old row
+    batch2 = spark.createDataFrame(
+        [("o1", "shipped", ts("2024-01-02T00:00:00")),
+         ("o2", "stale", ts("2023-12-01T00:00:00"))],
+        SCHEMA,
+    )
+    batch2.write.mode("overwrite").parquet(str(src_dir / "b2"))
+    q2 = incremental_upsert_stream(
+        spark, stream, table, ["order_id"], "update_time",
+        guard_cols=["status"], checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    time.sleep(0.5)
+    out2 = {r.order_id: r.status for r in read_upsert_table(spark, table).collect()}
+    assert out2 == {"o1": "shipped", "o2": "created"}  # no regression on o2
