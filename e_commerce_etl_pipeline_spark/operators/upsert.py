@@ -16,9 +16,9 @@ Idempotence / replay-safety (SURVEY §2.8 ST3): re-applying a batch is a
 no-op; an older order_col never regresses a newer row.
 
 Scale note (100 TB): a naive full-outer join rewrites the whole table per
-batch. ``upsert_partitioned`` therefore hash-buckets the table by key and
-joins only the buckets the batch touches (dynamic partition overwrite) —
-work proportional to the batch's key spread, not table size. The
+batch. ``upsert`` therefore hash-buckets the table by key and joins only
+the buckets the batch touches (dynamic partition overwrite) — work
+proportional to the batch's key spread, not table size. The
 incremental batch is tiny relative to the table, so the join side of the
 touched partitions is broadcast-eligible and AQE will pick that.
 """
@@ -39,6 +39,29 @@ from .dedup import drop_null_keys, keep_newest
 ETL_COLS = ("etl_batch_id", "etl_created_at", "etl_updated_at", "etl_source")
 
 
+def _bucket_expr(keys: Sequence[str], num_buckets: int) -> Column:
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets)).alias("__bucket")
+
+
+def write_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    order_col: str,
+    num_buckets: int = 64,
+    drop_null_key_rows: bool = False,
+) -> None:
+    """Full-load (truncate+insert, K2) writer in the upsert-compatible
+    hash-bucketed layout: dedup keep-newest, optional null-key drop (D5,
+    MISA parity), bucket by key hash, overwrite."""
+    out = keep_newest(df, keys, order_col)
+    if drop_null_key_rows:
+        out = drop_null_keys(out, keys)
+    out = out.withColumn("__bucket", _bucket_expr(keys, num_buckets))
+    out.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+
+
 def _any_guard_changed(guard_cols: Sequence[str]) -> Column:
     """OR of null-safe inequality over guard columns (t.<=>s negated)."""
     cond = F.lit(False)
@@ -54,6 +77,7 @@ def resolve_upsert(
     order_col: str,
     guard_cols: Sequence[str] = (),
     batch_time: Column | None = None,
+    drop_null_key_rows: bool = False,
 ) -> DataFrame:
     """Pure (no I/O) MERGE resolve: returns the post-upsert table contents.
 
@@ -61,9 +85,16 @@ def resolve_upsert(
     applies when target/source differ on any of these even if order_col
     ties (the reference's "status/tracking changed" OR-guard,
     tiktok_shop_staging_loader.py:382-404).
+
+    ``drop_null_key_rows``: the MISA loader drops rows missing any key
+    before load (misa_crm_loader.py:161-171); other sources keep them
+    (itemless orders carry NULL item_id by design) — the key join here is
+    null-safe, so replays still match.
     """
     cols = target.columns
-    source = drop_null_keys(keep_newest(source, keys, order_col), keys)
+    source = keep_newest(source, keys, order_col)
+    if drop_null_key_rows:
+        source = drop_null_keys(source, keys)
 
     t = target.alias("t")
     s = source.alias("s")
@@ -101,7 +132,9 @@ def resolve_upsert(
             # insert: source's; update: target's original creation time
             expr = F.when(t_exists, tgt).otherwise(src)
         elif c == "etl_updated_at":
-            expr = F.when(update_applies, batch_time).when(take_source, src).otherwise(tgt)
+            # match the column's type (MISA/Shopee stamp +07 timestamp_ntz)
+            bumped = batch_time.cast(target.schema[c].dataType)
+            expr = F.when(update_applies, bumped).when(take_source, src).otherwise(tgt)
         else:
             expr = F.when(take_source, src).otherwise(tgt)
         out_cols.append(expr.alias(c))
@@ -116,6 +149,7 @@ def upsert(
     order_col: str,
     guard_cols: Sequence[str] = (),
     num_buckets: int = 64,
+    drop_null_key_rows: bool = False,
 ) -> None:
     """Apply a guarded keyed upsert batch to a parquet table at ``table_path``.
 
@@ -125,19 +159,17 @@ def upsert(
     per-batch work scales with batch size, not table size. At 100 TB a
     second partition level (e.g. etl_date) would bound file counts further.
     """
-    bucket_expr = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets)).alias(
-        "__bucket"
-    )
-    source_b = source.withColumn("__bucket", bucket_expr)
+    source_b = source.withColumn("__bucket", _bucket_expr(keys, num_buckets))
 
     if not os.path.exists(table_path):
-        deduped = drop_null_keys(keep_newest(source_b, keys, order_col), keys)
-        deduped.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+        write_table(spark, source, table_path, keys, order_col, num_buckets,
+                    drop_null_key_rows)
         return
 
     touched = [r["__bucket"] for r in source_b.select("__bucket").distinct().collect()]
     target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))
-    resolved = resolve_upsert(target, source_b, keys, order_col, guard_cols)
+    resolved = resolve_upsert(target, source_b, keys, order_col, guard_cols,
+                              drop_null_key_rows=drop_null_key_rows)
 
     # Rewrite only the touched bucket partitions (dynamic partition overwrite).
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

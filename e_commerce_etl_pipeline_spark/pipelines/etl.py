@@ -1,0 +1,153 @@
+"""Pipeline drivers — the reference's three Airflow entry points
+(SURVEY.md §3) as plain functions over the engine substrate.
+
+- ``full_load_pipeline``: extract-all -> transform -> overwrite staging
+  (full_load_etl_dag.py; the Shopee-first ordering and Parquet/XCom
+  handoffs were orchestration artifacts — here each source is one lazy
+  Spark plan ending in a parquet overwrite).
+- ``incremental_pipeline``: windowed extract -> transform -> guarded
+  keyed upsert (incremental_etl_dag.py's 15-minute path, ST1-ST3).
+  The bridge/backfill DAG (ST4) is the same call with a wider window.
+- ``RunAudit``: etl_control.batch_runs parity (ST5) — one row per run,
+  appended to a small parquet audit table.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.upsert import stamp_etl_metadata, upsert, write_table
+
+AUDIT_SCHEMA = T.StructType([
+    T.StructField("batch_id", T.StringType()),
+    T.StructField("source_name", T.StringType()),
+    T.StructField("status", T.StringType()),  # RUNNING/SUCCESS/FAILED
+    T.StructField("records_extracted", T.LongType()),
+    T.StructField("records_loaded", T.LongType()),
+    T.StructField("started_at", T.DoubleType()),
+    T.StructField("finished_at", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+@dataclass
+class RunAudit:
+    spark: SparkSession
+    path: str
+
+    def record(self, row: dict) -> None:
+        base = {f.name: None for f in AUDIT_SCHEMA.fields}
+        base.update(row)
+        df = self.spark.createDataFrame([tuple(base[f.name] for f in AUDIT_SCHEMA.fields)],
+                                        AUDIT_SCHEMA)
+        df.write.mode("append").parquet(self.path)
+
+    def runs(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+
+@dataclass
+class SourcePipeline:
+    """One platform's (extract, transform, load) wiring."""
+
+    name: str
+    extract: Callable[..., DataFrame]       # (spark, window=None) -> raw df
+    transform: Callable[[DataFrame], DataFrame | dict[str, DataFrame]]
+    keys: Sequence[str]
+    order_col: str
+    guard_cols: Sequence[str] = ()
+    vn_naive_stamp: bool = False            # MISA/Shopee stamp +07 (T12)
+
+
+def _tables_of(transformed) -> dict[str, DataFrame]:
+    return transformed if isinstance(transformed, dict) else {"": transformed}
+
+
+def full_load_pipeline(
+    spark: SparkSession,
+    pipeline: SourcePipeline,
+    staging_root: str,
+    audit: RunAudit | None = None,
+) -> dict[str, int]:
+    """Truncate+insert semantics (K2): overwrite each staging table."""
+    batch_id = str(uuid.uuid4())
+    t0 = time.time()
+    counts: dict[str, int] = {}
+    try:
+        raw = pipeline.extract(spark)
+        for suffix, df in _tables_of(pipeline.transform(raw)).items():
+            table = f"{pipeline.name}{('_' + suffix) if suffix else ''}"
+            keys = [k for k in pipeline.keys if k in df.columns]
+            out = stamp_etl_metadata(df, pipeline.name, batch_id,
+                                     pipeline.vn_naive_stamp)
+            # child tables without the change-order column fall back to the
+            # batch stamp (reference: only parent tables carry a guard,
+            # shopee_orders_loader.py:672-695 — children replace-on-match)
+            order_col = pipeline.order_col if pipeline.order_col in out.columns else "etl_updated_at"
+            write_table(spark, out, f"{staging_root}/{table}", keys, order_col)
+            counts[table] = spark.read.parquet(f"{staging_root}/{table}").count()
+        if audit:
+            audit.record({
+                "batch_id": batch_id, "source_name": pipeline.name,
+                "status": "SUCCESS", "records_loaded": sum(counts.values()),
+                "started_at": t0, "finished_at": time.time(),
+            })
+        return counts
+    except Exception as e:
+        if audit:
+            audit.record({
+                "batch_id": batch_id, "source_name": pipeline.name,
+                "status": "FAILED", "started_at": t0,
+                "finished_at": time.time(), "error": str(e)[:500],
+            })
+        raise
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    pipeline: SourcePipeline,
+    staging_root: str,
+    window: tuple,
+    audit: RunAudit | None = None,
+) -> dict[str, int]:
+    """The 15-minute path: windowed change scan -> transform -> guarded
+    upsert per table. Replays/overlapping windows are no-ops (ST3)."""
+    batch_id = str(uuid.uuid4())
+    t0 = time.time()
+    counts: dict[str, int] = {}
+    try:
+        raw = pipeline.extract(spark, window=window)
+        for suffix, df in _tables_of(pipeline.transform(raw)).items():
+            table = f"{pipeline.name}{('_' + suffix) if suffix else ''}"
+            keys = [k for k in pipeline.keys if k in df.columns]
+            out = stamp_etl_metadata(df, pipeline.name, batch_id,
+                                     pipeline.vn_naive_stamp)
+            order_col = pipeline.order_col if pipeline.order_col in out.columns else "etl_updated_at"
+            n = out.count()
+            if n:
+                upsert(spark, out, f"{staging_root}/{table}", keys, order_col,
+                       [g for g in pipeline.guard_cols if g in df.columns])
+            counts[table] = n
+        if audit:
+            audit.record({
+                "batch_id": batch_id, "source_name": pipeline.name,
+                "status": "SUCCESS", "records_extracted": sum(counts.values()),
+                "records_loaded": sum(counts.values()),
+                "started_at": t0, "finished_at": time.time(),
+            })
+        return counts
+    except Exception as e:
+        if audit:
+            audit.record({
+                "batch_id": batch_id, "source_name": pipeline.name,
+                "status": "FAILED", "started_at": t0,
+                "finished_at": time.time(), "error": str(e)[:500],
+            })
+        raise

@@ -560,6 +560,197 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit value list so
+    the plan is single-pass; DuckDB oracle via conditional aggregation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority with decimal-exact totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).alias("total_sales"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+CUBE_SALES_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/K8 anti-join parity: customers with no orders (left_anti ==
+    the reference's pre-delete NOT-EXISTS shape, misa_crm_loader.py:836-868)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-10-01")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00')
+"""
+
+
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 retention delete as its read-side: rows inside the 90-day
+    retention horizon measured from the table's max date. The cutoff is a
+    scalar aggregate broadcast into the scan filter (at scale: partition
+    pruning on an etl_date partition column instead of a row filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("cutoff")
+    )
+    return (
+        orders.join(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("cutoff"))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    )
+
+
+RETENTION_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus
+FROM orders
+WHERE o_orderdate >= (SELECT MAX(o_orderdate) - INTERVAL 90 DAY FROM orders)
+"""
+
+
+def schema_aligned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 schema alignment: project events onto a declared target schema —
+    missing column materializes as typed NULL, extras (props, ts) dropped,
+    order fixed (misa_crm_loader.py:339-404 collapsed into one select)."""
+    from pyspark.sql import types as T
+
+    from ..operators.schema_align import align_to_schema
+
+    target = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("channel", T.StringType()),      # missing -> NULL
+        T.StructField("value", T.DecimalType(18, 2)),  # cast double -> decimal
+    ])
+    return align_to_schema(load_table(spark, sf_dir, "events"), target)
+
+
+SCHEMA_ALIGNED_SQL = """
+SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS channel,
+       CAST(value AS DECIMAL(18,2)) AS value
+FROM events
+"""
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no reference equivalent — SURVEY §2.6 notes none exist;
+    the analytics layer adds it): each event paired with the same user's
+    most recent strictly-prior purchase event, as a conditional running
+    max — the single-pass window rewrite of a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.max(purchase_ts).over(w).alias("asof_purchase_ts"),
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_purchase_ts
+FROM events
+"""
+
+
+def first_last_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 head-of-array parity on testdata: per order, the first and last
+    line item by linenumber (min_by/max_by — no self-join, one agg pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # order by a composite total key to keep min_by/max_by deterministic
+    key = F.col("l_linenumber").cast("long") * 1_000_000 + F.col("l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", key).alias("first_partkey"),
+        F.max_by("l_partkey", key).alias("last_partkey"),
+        F.min("l_linenumber").alias("first_linenumber"),
+        F.max("l_linenumber").alias("last_linenumber"),
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT l_orderkey,
+       min_by(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000 + l_partkey) AS first_partkey,
+       max_by(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000 + l_partkey) AS last_partkey,
+       MIN(l_linenumber) AS first_linenumber,
+       MAX(l_linenumber) AS last_linenumber
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (the Structured-Streaming agg shape,
+    runnable batch-side): hourly counts + decimal-exact value sums per
+    event type."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -581,4 +772,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "row_count_report": (row_count_report, ROW_COUNT_REPORT_SQL),
     "user_running_totals": (user_running_totals, USER_RUNNING_TOTALS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_SQL),
+    "cube_sales": (cube_sales, CUBE_SALES_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "retention_filter": (retention_filter, RETENTION_SQL),
+    "schema_aligned_events": (schema_aligned_events, SCHEMA_ALIGNED_SQL),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "first_last_item_per_order": (first_last_item_per_order, FIRST_LAST_SQL),
+    "events_hourly_windows": (events_hourly_windows, EVENTS_HOURLY_SQL),
 }
