@@ -751,6 +751,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage salted aggregation over events.event_type
+    (5 hot keys — a genuinely skewed distribution). Result is bit-identical
+    to the plain GROUP BY (decimal sums are associative), so the oracle is
+    the unsalted SQL."""
+    from ..operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, ["event_type"], _dec("value"), n_salts=16,
+        sum_alias="total_value", count_alias="n_events",
+    )
+
+
+SALTED_TOTALS_SQL = """
+SELECT event_type,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -780,4 +802,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "first_last_item_per_order": (first_last_item_per_order, FIRST_LAST_SQL),
     "events_hourly_windows": (events_hourly_windows, EVENTS_HOURLY_SQL),
+    "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
 }

@@ -1,0 +1,75 @@
+"""Event-time streaming aggregation with watermarks, and a custom
+stateful operator via applyInPandasWithState.
+
+The reference has no event-time windows (SURVEY §2.8: its only stateful
+op is keyed upsert); these are the engine's streaming-native additions:
+
+- ``windowed_counts``: watermarked tumbling-window counts — late data
+  beyond the watermark is dropped, state is evicted by the watermark
+  (bounded state at any scale).
+- ``running_dedup_stream``: first-seen dedup across micro-batches with
+  explicit per-key state (the streaming twin of exact_dedup): emits only
+  keys never seen before; state = one flag per key, partitioned by key
+  so state shards scale with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(stream: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    group_col: str | None = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode compatible)."""
+    groups = [F.window(ts_col, window).alias("w")]
+    if group_col:
+        groups.append(F.col(group_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                *([group_col] if group_col else []),
+                "n_events")
+    )
+
+
+DEDUP_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("first_batch_ts", T.DoubleType()),
+])
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    if state.exists:
+        return iter(())
+    state.update((True,))
+    first_ts = None
+    for pdf in pdfs:
+        if len(pdf) and first_ts is None:
+            first_ts = float(pdf["batch_ts"].iloc[0])
+    yield pd.DataFrame({"key": [key[0]], "first_batch_ts": [first_ts]})
+
+
+def running_dedup_stream(stream: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful operator: emit each key once across the stream's
+    lifetime (applyInPandasWithState; update mode)."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.lit(0.0).alias("batch_ts"),
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
