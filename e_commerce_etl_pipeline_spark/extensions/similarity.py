@@ -183,8 +183,61 @@ FROM embeddings GROUP BY label
 """
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the corpus is
+    embeddings ∪ slightly-perturbed copies (every element +1e-4, vec_id +
+    1_000_000 — deterministic), candidate pairs restricted to the sign-LSH
+    bucket (the scale path — perturbed twins share the bucket unless an
+    element sits within 1e-4 of zero, which the threshold filter absorbs),
+    verified by cosine >= 0.999."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x + F.lit(1e-4)).alias("v"),
+    )
+    corpus = emb.unionByName(perturbed).withColumn("bucket", sign_bucket(F.col("v")))
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= 0.999).select("vec_a", "vec_b")
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.0001) FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM corpus
+), dotted AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         {" + ".join(f"a.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))} AS dot,
+         sqrt({" + ".join(f"a.v[{i}] * a.v[{i}]" for i in range(1, DIM + 1))}) AS na,
+         sqrt({" + ".join(f"b2.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))}) AS nb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
+"""
+
+
 EXT_QUERIES = {
     "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
     "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
     "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs, EMBEDDING_NEAR_DUP_SQL),
 }
