@@ -8,10 +8,14 @@ from .text import EXT_QUERIES as TEXT_QUERIES  # noqa: F401
 from .dedup_fuzzy import EXT_QUERIES as DEDUP_QUERIES  # noqa: F401
 from .similarity import EXT_QUERIES as SIMILARITY_QUERIES  # noqa: F401
 from .multimodal import EXT_QUERIES as MULTIMODAL_QUERIES  # noqa: F401
+from .grouped_pandas import EXT_QUERIES as GROUPED_PANDAS_QUERIES  # noqa: F401
+from .components import EXT_QUERIES as COMPONENTS_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
+    **GROUPED_PANDAS_QUERIES,
+    **COMPONENTS_QUERIES,
 }

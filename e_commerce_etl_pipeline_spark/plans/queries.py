@@ -751,6 +751,89 @@ FROM events GROUP BY 1, 2
 """
 
 
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (min per group) —
+    expressed as the aggregate-join rewrite Catalyst would produce."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy("p_brand").agg(
+        F.min(_dec("p_retailprice")).alias("min_price")
+    )
+    p2 = load_table(spark, sf_dir, "part")
+    return (
+        p2.join(F.broadcast(mins), "p_brand")
+        .filter(_dec("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name",
+                _dec("p_retailprice").alias("p_retailprice"))
+    )
+
+
+CHEAPEST_PART_SQL = """
+SELECT p_brand, p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+FROM part p
+WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
+  SELECT MIN(CAST(p_retailprice AS DECIMAL(18,2))) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+def revenue_by_year_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part grouping over the full join tree (TPC-H Q7/Q8 flavor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"), F.col("r_name"))
+        .agg(revenue, F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+REVENUE_YEAR_REGION_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, r_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: per part-type distinct supplier + order counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(_dec("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+PART_SUPPLIER_STATS_SQL = """
+SELECT p_type,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
 def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient two-stage salted aggregation over events.event_type
     (5 hot keys — a genuinely skewed distribution). Result is bit-identical
@@ -803,4 +886,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "first_last_item_per_order": (first_last_item_per_order, FIRST_LAST_SQL),
     "events_hourly_windows": (events_hourly_windows, EVENTS_HOURLY_SQL),
     "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
+    "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_SQL),
+    "revenue_by_year_region": (revenue_by_year_region, REVENUE_YEAR_REGION_SQL),
+    "part_supplier_stats": (part_supplier_stats, PART_SUPPLIER_STATS_SQL),
 }
