@@ -26,9 +26,11 @@ HEADLINE = [
     # operator parity
     "dedup_keep_newest", "merge_upsert_orders", "explode_flatten_orders",
     "coercion_kernel_events", "sessionize_events", "user_running_totals",
+    "revenue_by_year_region", "salted_event_type_totals",
     # LLM-pipeline extensions
     "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
-    "brute_force_topk", "lsh_bucketed_topk", "multimodal_features",
+    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
+    "user_value_median", "multimodal_features",
 ]
 
 

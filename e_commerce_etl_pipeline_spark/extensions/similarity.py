@@ -235,8 +235,87 @@ SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
 """
 
 
+N_CELLS = 8  # IVF cells; centroids = vectors with vec_id 0..7 (deterministic)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization to the nearest of 8 fixed
+    centroids (deterministically the first 8 vectors — a production build
+    would train k-means on a sample; fixed centroids keep the oracle
+    exact), then top-3 cosine within the query's cell.
+
+    Scale shape: the assignment is a broadcast nested-loop over 8
+    centroids (a map stage); the search join shuffles on cell id only —
+    per-cell candidate sets, never O(n²)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # nearest centroid by cosine; total order (csim desc, cell) for ties
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", cosine(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    cand = q.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid", "cell", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cell", "rank", "neighbor_id")
+    )
+
+
+def _list_dot_sql(a: str, b: str) -> str:
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, DIM + 1)) + ")"
+
+
+def _list_norm_sql(a: str) -> str:
+    return "sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(1, DIM + 1)) + ")"
+
+
+IVF_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM v WHERE vec_id < {N_CELLS}
+), assigned0 AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {_list_dot_sql('v', 'cv')} / ({_list_norm_sql('v')} * {_list_norm_sql('cv')}) DESC, cell) AS rn
+  FROM v CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cell FROM assigned0 WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, q.cell, a.vec_id AS neighbor_id,
+         {_list_dot_sql('q.qv', 'a.v')} / ({_list_norm_sql('q.qv')} * {_list_norm_sql('a.v')}) AS cos
+  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, cell, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, cell, rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
+
 EXT_QUERIES = {
     "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
+    "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
     "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, EMBEDDING_NEAR_DUP_SQL),
