@@ -113,9 +113,10 @@ def test_cosine_known_vectors(spark):
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
         "a array<double>, b array<double>",
     )
-    out = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
-    assert out[0] == pytest.approx(0.0)
-    assert out[1] == pytest.approx(1.0)
+    for dim in (2, None):  # expanded and fold paths agree
+        out = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"), dim=dim)).collect()]
+        assert out[0] == pytest.approx(0.0)
+        assert out[1] == pytest.approx(1.0)
 
 
 def test_brute_force_topk_shape(spark, sf_dir):
