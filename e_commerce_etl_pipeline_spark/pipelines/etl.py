@@ -64,6 +64,7 @@ class SourcePipeline:
     order_col: str
     guard_cols: Sequence[str] = ()
     vn_naive_stamp: bool = False            # MISA/Shopee stamp +07 (T12)
+    drop_null_key_rows: bool = False        # MISA D5 parity (null keys dropped at load)
 
 
 def _tables_of(transformed) -> dict[str, DataFrame]:
@@ -83,7 +84,7 @@ def full_load_pipeline(
     try:
         raw = pipeline.extract(spark)
         for suffix, df in _tables_of(pipeline.transform(raw)).items():
-            table = f"{pipeline.name}{('_' + suffix) if suffix else ''}"
+            table = suffix or pipeline.name
             keys = [k for k in pipeline.keys if k in df.columns]
             out = stamp_etl_metadata(df, pipeline.name, batch_id,
                                      pipeline.vn_naive_stamp)
@@ -91,8 +92,14 @@ def full_load_pipeline(
             # batch stamp (reference: only parent tables carry a guard,
             # shopee_orders_loader.py:672-695 — children replace-on-match)
             order_col = pipeline.order_col if pipeline.order_col in out.columns else "etl_updated_at"
-            write_table(spark, out, f"{staging_root}/{table}", keys, order_col)
-            counts[table] = spark.read.parquet(f"{staging_root}/{table}").count()
+            write_table(spark, out, f"{staging_root}/{table}", keys, order_col,
+                        drop_null_key_rows=pipeline.drop_null_key_rows)
+            try:
+                counts[table] = spark.read.parquet(f"{staging_root}/{table}").count()
+            except Exception:
+                # an all-empty table writes no parquet files (no partitions),
+                # so the read-back cannot infer a schema — that IS zero rows
+                counts[table] = 0
         if audit:
             audit.record({
                 "batch_id": batch_id, "source_name": pipeline.name,
@@ -125,7 +132,7 @@ def incremental_pipeline(
     try:
         raw = pipeline.extract(spark, window=window)
         for suffix, df in _tables_of(pipeline.transform(raw)).items():
-            table = f"{pipeline.name}{('_' + suffix) if suffix else ''}"
+            table = suffix or pipeline.name
             keys = [k for k in pipeline.keys if k in df.columns]
             out = stamp_etl_metadata(df, pipeline.name, batch_id,
                                      pipeline.vn_naive_stamp)
@@ -133,7 +140,8 @@ def incremental_pipeline(
             n = out.count()
             if n:
                 upsert(spark, out, f"{staging_root}/{table}", keys, order_col,
-                       [g for g in pipeline.guard_cols if g in df.columns])
+                       [g for g in pipeline.guard_cols if g in df.columns],
+                       drop_null_key_rows=pipeline.drop_null_key_rows)
             counts[table] = n
         if audit:
             audit.record({
