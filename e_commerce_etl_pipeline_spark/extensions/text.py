@@ -173,8 +173,85 @@ SELECT doc_id, {expr} AS lang_pred FROM hits
 """
 
 
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+ROLL_W = 8          # rolling window (chars)
+BOUNDARY_MASK = 31  # boundary when h % 32 == 0 -> avg chunk ~32 chars
+
+
+def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprinting by polynomial rolling hash:
+    hash every ROLL_W-char window (base-257 poly mod 1e9+7 — exact in
+    64-bit on both engines), mark boundaries where h % 32 == 0, emit the
+    boundary count and an md5 over the boundary-position sequence. Robust
+    to edits outside a chunk — the content-defined-chunking primitive of
+    large-corpus near-dup/incremental-dedup pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")  # array of single chars
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    docs = docs.select("doc_id", codes.alias("codes"))
+
+    # h(i) = (sum_j codes[i+j] * B^(W-1-j)) % M, for i in 1..n-W+1
+    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
+
+    def win_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            acc = (acc + F.element_at(F.col("codes"), i + j) * F.lit(p)) % ROLL_MOD
+        return acc
+
+    n = F.size(F.col("codes"))
+    # guard: Spark sequence(1, 0) would generate a DESCENDING sequence
+    idx = F.when(
+        n >= ROLL_W, F.sequence(F.lit(1), n - (ROLL_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(idx, win_hash)
+    boundaries = F.filter(
+        F.transform(hashes, lambda h: h % (BOUNDARY_MASK + 1)),
+        lambda m: m == 0,
+    )
+    boundary_pos = F.filter(
+        F.transform(hashes, lambda h, i: F.when(h % (BOUNDARY_MASK + 1) == 0, i + 1)),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(boundaries).cast("long").alias("n_boundaries"),
+        F.md5(F.concat_ws(",", F.transform(boundary_pos, lambda p: p.cast("string"))))
+        .alias("chunk_fingerprint"),
+    )
+
+
+def _rolling_sql() -> str:
+    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
+    terms = " + ".join(f"codes[i + {j}] * {p}" for j, p in enumerate(powers))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(codes) - {ROLL_W - 1}, 0)),
+                        i -> ({terms}) % {ROLL_MOD}) AS hashes
+  FROM base
+), bpos AS (
+  SELECT doc_id,
+         list_filter(list_transform(generate_series(1, len(hashes)),
+                                    i -> CASE WHEN hashes[i] % {BOUNDARY_MASK + 1} = 0 THEN i END),
+                     x -> x IS NOT NULL) AS positions
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(len(positions) AS BIGINT) AS n_boundaries,
+       md5(COALESCE(list_aggregate(list_transform(positions, p -> CAST(p AS VARCHAR)), 'string_agg', ','), '')) AS chunk_fingerprint
+FROM bpos
+"""
+
+
 EXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "lang_distribution": (lang_distribution, LANG_DISTRIBUTION_SQL),
     "lang_id_docs": (lang_id_docs, _lang_id_sql()),
+    "rolling_fingerprint_docs": (rolling_fingerprint_docs, _rolling_sql()),
 }

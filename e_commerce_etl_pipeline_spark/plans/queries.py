@@ -856,6 +856,22 @@ FROM events GROUP BY event_type
 """
 
 
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations (HLL++ distinct counts, quantile
+    sketch) — the 100 TB path for distinct/percentile questions where
+    exact answers need unbounded state. Approximate by design, so no SQL
+    oracle: the driver records the weaker rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -889,4 +905,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_SQL),
     "revenue_by_year_region": (revenue_by_year_region, REVENUE_YEAR_REGION_SQL),
     "part_supplier_stats": (part_supplier_stats, PART_SUPPLIER_STATS_SQL),
+    "approx_sketch_stats": (approx_sketch_stats, None),  # approximate: rows-only check
 }
