@@ -169,10 +169,16 @@ def to_dataframe(
     batches: Iterator[list[dict]],
     schema: T.StructType,
     slice_size: int = 5000,
+    normalizer: Callable[[dict], dict] | None = None,
 ) -> DataFrame:
     """Land batches as a DataFrame with a declared schema. JSON round-trip
-    so nested dicts parse through the schema (unknown keys tolerated)."""
-    lines = [json.dumps(r) for batch in batches for r in batch]
+    so nested dicts parse through the schema (unknown keys tolerated).
+    ``normalizer`` runs per record pre-landing (e.g. the Shopee
+    list-or-scalar fix, platforms.normalize_shopee_order)."""
+    if normalizer is None:
+        lines = [json.dumps(r) for batch in batches for r in batch]
+    else:
+        lines = [json.dumps(normalizer(r)) for batch in batches for r in batch]
     if not lines:
         return spark.createDataFrame([], schema)
     n_slices = max(1, len(lines) // slice_size)

@@ -118,6 +118,21 @@ MISA_TIME_FIELD = {
 }
 
 
+def normalize_shopee_order(record: dict) -> dict:
+    """The list-or-scalar quirk (shopee_orders_transformer.py:294-314):
+    ``item_list[].product_location_id`` arrives as a list OR a bare
+    string. The declared Spark schema is array<string>; a scalar would
+    silently parse to NULL, so normalize at the landing boundary (the
+    record is still a dict here) — exactly where the reference fixes it."""
+    items = record.get("item_list")
+    if items:
+        for it in items:
+            loc = it.get("product_location_id")
+            if isinstance(loc, str):
+                it["product_location_id"] = [loc]
+    return record
+
+
 @dataclass
 class SeenSetDedup:
     """S7's cross-page dedup during chunked extraction

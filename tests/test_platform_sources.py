@@ -71,3 +71,25 @@ def test_seen_set_dedup():
     b2 = d.filter_batch([{"order_sn": "b"}, {"order_sn": "c"}])
     assert [r["order_sn"] for r in b1] == ["a", "b"]
     assert [r["order_sn"] for r in b2] == ["c"]
+
+
+def test_shopee_list_or_scalar_location(spark):
+    from e_commerce_etl_pipeline_spark.schemas import SHOPEE_ORDER_SCHEMA
+    from e_commerce_etl_pipeline_spark.sources.api_adapter import to_dataframe
+    from e_commerce_etl_pipeline_spark.sources.platforms import normalize_shopee_order
+    from e_commerce_etl_pipeline_spark.transforms.shopee import (
+        order_item_locations_table,
+    )
+
+    records = [[{
+        "order_sn": "S1",
+        "item_list": [
+            {"order_item_id": 1, "model_id": 2, "product_location_id": "SCALAR"},
+            {"order_item_id": 3, "model_id": 4, "product_location_id": ["L1", "L2"]},
+        ],
+    }]]
+    raw = to_dataframe(spark, iter(records), SHOPEE_ORDER_SCHEMA,
+                       normalizer=normalize_shopee_order)
+    locs = {(r.order_item_id, r.location_id)
+            for r in order_item_locations_table(raw).collect()}
+    assert locs == {(1, "SCALAR"), (3, "L1"), (3, "L2")}
