@@ -856,6 +856,26 @@ FROM events GROUP BY event_type
 """
 
 
+Q6_TEXT = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS potential_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND l_quantity < 24
+"""
+
+
+def q6_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL API: the staging tables registered as temp
+    views and the EXACT oracle text executed by spark.sql — Catalyst
+    produces the same plan as the DataFrame API, and the engine's SQL
+    surface is ANSI enough that one string serves both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q6_TEXT)
+
+
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations (HLL++ distinct counts, quantile
     sketch) — the 100 TB path for distinct/percentile questions where
@@ -906,4 +926,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_by_year_region": (revenue_by_year_region, REVENUE_YEAR_REGION_SQL),
     "part_supplier_stats": (part_supplier_stats, PART_SUPPLIER_STATS_SQL),
     "approx_sketch_stats": (approx_sketch_stats, None),  # approximate: rows-only check
+    "q6_sql_interface": (q6_sql_interface, Q6_TEXT),
 }
