@@ -121,3 +121,27 @@ def test_misa_null_key_drop_parity(spark, tmp_path):
     assert tbl.count() == 1
     assert tbl.collect()[0].order_id == 1
     assert counts["misa_sale_orders_flattened"] == 1
+
+
+def test_table_configs_make_pipeline(spark, tmp_path):
+    import json as _json
+
+    from e_commerce_etl_pipeline_spark.pipelines.configs import (
+        TIKTOK_ORDER_DETAIL,
+        make_pipeline,
+    )
+    from e_commerce_etl_pipeline_spark.schemas import TIKTOK_ORDER_SCHEMA
+    from e_commerce_etl_pipeline_spark.transforms import transform_tiktok_orders
+
+    def extract(s, window=None):
+        o = {"id": "T1", "status": "CREATED", "update_time": 100,
+             "line_items": [{"id": "L1", "quantity": 1}]}
+        return s.read.schema(TIKTOK_ORDER_SCHEMA).json(
+            s.sparkContext.parallelize([_json.dumps(o)], 1))
+
+    pipe = make_pipeline("tiktok_shop_order_detail", TIKTOK_ORDER_DETAIL,
+                         extract, transform_tiktok_orders)
+    staging = str(tmp_path / "s")
+    counts = full_load_pipeline(spark, pipe, staging)
+    assert counts == {"tiktok_shop_order_detail": 1}
+    assert pipe.guard_cols == ["status", "tracking_number", "shipping_provider"]
