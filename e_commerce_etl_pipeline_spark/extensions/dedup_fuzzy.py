@@ -3,10 +3,16 @@ word-trigram shingles, n-gram Jaccard verification, SimHash — all as
 JVM-side column programs (no Python UDFs).
 
 Determinism/portability design: hash functions are md5 over strings
-(identical in Spark and DuckDB), and a "min-hash" is the *lexicographic*
-minimum of salted md5 hex digests — an order statistic over a uniform
-hash family, same theory as integer minhash, but computable bit-for-bit
-identically in both engines with built-ins only.
+(identical in Spark and DuckDB), and the signature uses **one-permutation
+hashing**: ONE md5 per shingle, whose 32 hex chars are split into
+N_HASHES disjoint 4-char windows; channel i's minhash is the
+*lexicographic* minimum of window i across the shingle set. Fixed-width
+lowercase hex sorts identically to its numeric value, so the lex-min IS
+the numeric min — an order statistic over a uniform 16-bit hash family,
+same theory as k-permutation integer minhash (precision recovered by the
+exact-Jaccard verify step), but 8× less hashing than salted-md5-per-seed
+and computable bit-for-bit identically in both engines with built-ins
+only.
 
 Shingling: word 3-grams, not single words — the standard choice, and
 essential here: near-dup similarity must measure *sequence* overlap, so
@@ -67,20 +73,34 @@ SHINGLES_SQL = (
 WORDS_SQL = "string_split_regex(trim(lower({t})), '\\s+')"
 
 
-def minhash_sig(shingles: Column, seed: int) -> Column:
-    """Lexicographic-min of salted md5 digests over the shingle set."""
+def shingle_hexes(shingles: Column) -> Column:
+    """One md5 hex digest per shingle — the single hashing pass."""
+    return F.transform(shingles, F.md5)
+
+
+def channel_min(hexes: Column, i: int) -> Column:
+    """Minhash channel i: lex-min (= numeric min) of hex window i."""
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+        F.transform(hexes, lambda h: F.substring(h, 4 * i + 1, 4))
     )
 
 
-def band_keys(shingles: Column) -> list[Column]:
-    sigs = [minhash_sig(shingles, i) for i in range(N_HASHES)]
+def band_keys_from_hexes(hexes: Column) -> list[Column]:
+    """Band keys from a *materialized* hexes column (hot path: select the
+    md5 array into its own column first so the per-shingle hashing runs
+    once, not once per band — same CSE caveat as shingles_from_words)."""
+    sigs = [channel_min(hexes, i) for i in range(N_HASHES)]
     bands = []
     for b in range(N_HASHES // BAND_SIZE):
         chunk = sigs[b * BAND_SIZE:(b + 1) * BAND_SIZE]
         bands.append(F.md5(F.concat_ws("|", *chunk)).alias(f"band_{b}"))
     return bands
+
+
+def band_keys(shingles: Column) -> list[Column]:
+    """Convenience form for tests/small inputs (recomputes the md5 array
+    per band); hot paths materialize ``shingle_hexes`` first."""
+    return band_keys_from_hexes(shingle_hexes(shingles))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -89,14 +109,15 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def _minhash_sql_expr(shingles_expr: str, seed: int) -> str:
+def _channel_min_sql(hexes_expr: str, i: int) -> str:
     return (
-        f"list_aggregate(list_transform({shingles_expr}, s -> md5(s || '#{seed}')), 'min')"
+        f"list_aggregate(list_transform({hexes_expr},"
+        f" h -> substr(h, {4 * i + 1}, 4)), 'min')"
     )
 
 
-def _band_sql_exprs(shingles_expr: str) -> list[str]:
-    sigs = [_minhash_sql_expr(shingles_expr, i) for i in range(N_HASHES)]
+def _band_sql_exprs(hexes_expr: str) -> list[str]:
+    sigs = [_channel_min_sql(hexes_expr, i) for i in range(N_HASHES)]
     out = []
     for b in range(N_HASHES // BAND_SIZE):
         chunk = sigs[b * BAND_SIZE:(b + 1) * BAND_SIZE]
@@ -143,8 +164,10 @@ FROM corpus GROUP BY 1
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash band keys (the LSH bucketing state)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", shingle_set(F.col("text")).alias("__s")).select(
-        "doc_id", *band_keys(F.col("__s"))
+    return (
+        docs.select("doc_id", shingle_set(F.col("text")).alias("__s"))
+        .select("doc_id", shingle_hexes(F.col("__s")).alias("__h"))
+        .select("doc_id", *band_keys_from_hexes(F.col("__h")))
     )
 
 
@@ -155,8 +178,10 @@ WITH base AS (
   SELECT doc_id, {WORDS_SQL.format(t='text')} AS w FROM documents
 ), sh AS (
   SELECT doc_id, {_SH} AS shingles FROM base
+), hx AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hexes FROM sh
 )
-SELECT doc_id, {', '.join(_band_sql_exprs('shingles'))} FROM sh
+SELECT doc_id, {', '.join(_band_sql_exprs('hexes'))} FROM hx
 """
 
 
@@ -174,7 +199,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-Jaccard verify >= 0.7. The join is per-band bucket (shuffle on
     band key, no cross join) — the 100 TB-safe shape."""
     corpus = _mutated_corpus(spark, sf_dir)
-    # Shingling + 8 md5 minhash passes is the expensive map stage; it is
+    # Shingling + the per-shingle md5 pass is the expensive map stage; it is
     # referenced three times below (banding, verify-a, verify-b), so
     # persist it — one pass over the corpus, not three. (At 100 TB this
     # would be a checkpointed intermediate table instead of memory cache.)
@@ -189,8 +214,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (large) shingle arrays re-attach afterwards by key. At corpus
     # scale this keeps the candidate-generation shuffle tiny.
     banded = sh.select(
+        "doc_id", shingle_hexes(F.col("shingles")).alias("__h")
+    ).select(
         "doc_id",
-        F.posexplode(F.array(*band_keys(F.col("shingles"))))
+        F.posexplode(F.array(*band_keys_from_hexes(F.col("__h"))))
         .alias("band_idx", "band_key"),
     )
     a = banded.alias("a")
@@ -224,8 +251,10 @@ WITH corpus AS (
   SELECT doc_id, {WORDS_SQL.format(t='text')} AS w FROM corpus
 ), sh AS (
   SELECT doc_id, {_SH} AS shingles FROM base
+), hx AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hexes FROM sh
 ), banded0 AS (
-  SELECT doc_id, shingles, {', '.join(_band_sql_exprs('shingles'))} FROM sh
+  SELECT doc_id, shingles, {', '.join(_band_sql_exprs('hexes'))} FROM hx
 ), banded AS (
   SELECT doc_id, shingles, 0 AS band_idx, band_0 AS band_key FROM banded0
   UNION ALL
