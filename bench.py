@@ -23,6 +23,7 @@ HEADLINE = [
     # scan/agg/join analytics
     "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
     "top_suppliers_per_nation", "sales_rollup", "customer_order_stats",
+    "urgent_share_by_flag", "big_order_customers",
     # operator parity
     "dedup_keep_newest", "merge_upsert_orders", "explode_flatten_orders",
     "coercion_kernel_events", "sessionize_events", "user_running_totals",

@@ -893,6 +893,201 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shaped analytics II: subquery / conditional-agg / big-big-join shapes
+# --------------------------------------------------------------------------
+
+def urgent_share_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM, one
+    pass) over a big⨝big join. The merge hint pins sort-merge: at 100 TB
+    neither lineitem nor orders broadcasts, so the scalable plan is
+    shuffle-on-orderkey SMJ; AQE may still downgrade to shuffled-hash at
+    runtime when one side turns out small — both are exchange-once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+URGENT_SHARE_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month. part is the
+    broadcast dim; the two sums stay exact decimal, the share is a single
+    double division of identical operands in both engines (no ELSE on the
+    promo CASE — an all-regular month is NULL, same in both)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_revenue"),
+            F.sum(rev).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double"),
+        )
+    )
+
+
+PROMO_SHARE_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS promo_revenue,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT CAST(ship_month AS TIMESTAMP) AS ship_month, promo_revenue, total_revenue,
+       CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS promo_share
+FROM m
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below half their part's average quantity.
+    The correlated scalar subquery is a window over l_partkey — one
+    shuffle, no self-join of lineitem against its own aggregate. The avg
+    comparison is rewritten multiplicatively (2·q·cnt < sum) so both
+    engines compare exact decimals instead of diverging on
+    decimal-division scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    qd = _dec("l_quantity")
+    return (
+        li.withColumn("part_qty_sum", F.sum(qd).over(w))
+        .withColumn("part_qty_cnt", F.count(F.lit(1)).over(w))
+        .filter(qd * 2 * F.col("part_qty_cnt") < F.col("part_qty_sum"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SMALL_QTY_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS part_qty_sum,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS part_qty_cnt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM w
+WHERE qd * 2 * part_qty_cnt < part_qty_sum
+GROUP BY l_returnflag
+"""
+
+
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join (HAVING subquery). The
+    groupBy runs BEFORE the joins, so the join input is the small
+    filtered aggregate instead of raw lineitem — the order that matters
+    at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _dec("o_totalprice").alias("o_total"), "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+BIG_ORDER_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_total, total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery + anti-join. The global
+    average is a 1-row broadcast (crossJoin(broadcast)); NOT EXISTS is a
+    left_anti on custkey. Deterministic avg: exact decimal sum cast to
+    double, divided by the count — one division, identical operands in
+    both engines. (Anti-joins against *urgent* orders: in the synthetic
+    data every customer has some order, so plain no-orders is empty.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_df = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+IDLE_RICH_SQL = """
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -927,4 +1122,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "part_supplier_stats": (part_supplier_stats, PART_SUPPLIER_STATS_SQL),
     "approx_sketch_stats": (approx_sketch_stats, None),  # approximate: rows-only check
     "q6_sql_interface": (q6_sql_interface, Q6_TEXT),
+    "urgent_share_by_flag": (urgent_share_by_flag, URGENT_SHARE_SQL),
+    "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, SMALL_QTY_SQL),
+    "big_order_customers": (big_order_customers, BIG_ORDER_SQL),
+    "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
 }
