@@ -1,0 +1,123 @@
+"""Bucketed co-located joins (shuffle elimination) and physical
+partition isolation of the bucketed upsert — the two 100 TB levers
+docs/SCALE.md claims, asserted against real plans and real files."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.operators.bucketing import (
+    colocated_join,
+    count_exchanges,
+    write_bucketed,
+)
+from e_commerce_etl_pipeline_spark.operators.upsert import (
+    read_upsert_table,
+    upsert,
+)
+
+N_BUCKETS = 4
+
+
+def _orders(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("custkey"),
+        (F.col("id") * 10).cast("double").alias("total"),
+    )
+
+
+def _items(spark, n=600):
+    return spark.range(n).select(
+        (F.col("id") % 200).alias("order_id"),
+        F.col("id").alias("item_id"),
+        (F.col("id") % 5 + 1).cast("double").alias("qty"),
+    )
+
+
+def test_colocated_join_no_exchange(spark, tmp_path):
+    write_bucketed(_orders(spark), "b_orders", ["order_id"], N_BUCKETS,
+                   path=str(tmp_path / "orders"))
+    write_bucketed(_items(spark), "b_items", ["order_id"], N_BUCKETS,
+                   path=str(tmp_path / "items"))
+    try:
+        joined = colocated_join(spark, "b_orders", "b_items", ["order_id"])
+        assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+        assert joined.count() == 600
+        # same join WITHOUT bucketing shuffles both sides
+        plain = _orders(spark).hint("merge").join(_items(spark), "order_id")
+        assert count_exchanges(plain) >= 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_bucketed_groupby_no_exchange(spark, tmp_path):
+    write_bucketed(_items(spark), "b_items_agg", ["order_id"], N_BUCKETS,
+                   path=str(tmp_path / "items_agg"))
+    try:
+        agg = (
+            spark.table("b_items_agg")
+            .groupBy("order_id")
+            .agg(F.sum("qty").alias("total_qty"))
+        )
+        assert count_exchanges(agg) == 0, "groupBy on bucket key must not shuffle"
+        assert agg.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_items_agg")
+
+
+def _bucket_files(path):
+    """{bucket_dir_name: {file_name: (size, mtime)}} for a bucketed table."""
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("__bucket="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = {
+            f: (os.path.getsize(os.path.join(full, f)),
+                os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract of the bucketed upsert: a batch touching one
+    key must leave every other bucket's parquet files byte-identical on
+    disk (same names, sizes, mtimes) — per-batch write work scales with
+    the batch, not the table."""
+    path = str(tmp_path / "tbl")
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(f"o{i}", "i1", "created", ts) for i in range(64)]
+    df = spark.createDataFrame(
+        rows, "order_id string, item_id string, status string, update_time timestamp"
+    )
+    upsert(spark, df, path, ["order_id", "item_id"], "update_time", ["status"],
+           num_buckets=8)
+    before = _bucket_files(path)
+    assert len(before) > 1, "need multiple buckets for the isolation claim"
+
+    batch = spark.createDataFrame(
+        [("o3", "i1", "shipped", datetime.datetime(2024, 1, 2))],
+        "order_id string, item_id string, status string, update_time timestamp",
+    )
+    upsert(spark, batch, path, ["order_id", "item_id"], "update_time", ["status"],
+           num_buckets=8)
+    after = _bucket_files(path)
+
+    from e_commerce_etl_pipeline_spark.operators.upsert import _bucket_expr
+    touched = batch.select(_bucket_expr(["order_id", "item_id"], 8)).collect()[0][0]
+    touched_dir = f"__bucket={touched}"
+
+    assert after[touched_dir] != before[touched_dir]
+    for d, files in before.items():
+        if d != touched_dir:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+    out = {r.order_id: r.status for r in read_upsert_table(spark, path).collect()}
+    assert out["o3"] == "shipped" and out["o1"] == "created" and len(out) == 64
