@@ -341,10 +341,64 @@ SELECT qid, cell, rank, neighbor_id FROM ranked WHERE rank <= 3
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of each approximate ANN path (sign-LSH buckets, IVF
+    cells) against the brute-force exact top-3 — the quality side of the
+    quality/cost tradeoff, measured inside the engine. At corpus scale
+    this same query runs over a sampled query set and becomes the
+    recall-regression gate for retuning bucket bits / cell counts."""
+    exact3 = (
+        brute_force_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("qid", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    lsh = lsh_bucketed_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "qid", "neighbor_id"
+    )
+    ivf = ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "qid", "neighbor_id"
+    )
+    approx = lsh.unionByName(ivf)
+    denom = float(N_QUERIES * 3)
+    return (
+        approx.join(exact3, ["qid", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"),
+        )
+        .withColumn("recall_at_3", F.col("hits").cast("double") / F.lit(denom))
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS ({BRUTE_FORCE_TOPK_SQL}),
+exact3 AS (SELECT qid, neighbor_id FROM bf WHERE rank <= 3),
+lshq AS ({LSH_BUCKETED_TOPK_SQL}),
+ivfq AS ({IVF_TOPK_SQL}),
+approx AS (
+  SELECT 'lsh' AS method, qid, neighbor_id FROM lshq
+  UNION ALL
+  SELECT 'ivf' AS method, qid, neighbor_id FROM ivfq
+)
+SELECT method, COUNT(*) AS n_returned,
+       SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
+                             WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
+           THEN 1 ELSE 0 END) AS hits,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
+                             WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
+           THEN 1 ELSE 0 END) AS DOUBLE) / {float(N_QUERIES * 3)} AS recall_at_3
+FROM approx a
+GROUP BY method
+"""
+
+
 EXT_QUERIES = {
     "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
     "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, EMBEDDING_NEAR_DUP_SQL),
+    "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
 }

@@ -1,0 +1,70 @@
+"""Retention as partition lifecycle — SURVEY.md §2.2 K10 at scale.
+
+The reference deletes expired rows with ``DELETE ... WHERE etl_created_at
+< DATEADD(day,-N,GETDATE())`` per table (misa_crm_loader.py:1166-1213) —
+a full-table scan-and-delete. At 100 TB the only sane realization is a
+date-partitioned layout where retention drops whole partitions: an O(1)
+metadata/filesystem operation per expired day, zero data read, zero data
+rewritten. (On a lakehouse table format this is ``ALTER TABLE ... DROP
+PARTITION`` / a storage lifecycle rule; on plain parquet it is deleting
+the ``etl_date=...`` directories, which is what this module does.)
+
+The row-filter flavor stays available as the read-side query
+(`plans.queries.retention_filter`, oracle-checked); this module is the
+write-side lifecycle, tested against real files in
+tests/test_retention.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATE_COL = "etl_date"
+
+
+def write_dated(df: DataFrame, table_path: str, ts_col: str,
+                mode: str = "append") -> None:
+    """Write with an ``etl_date`` partition column derived from ``ts_col``
+    — the layout every retention-managed staging table uses."""
+    (
+        df.withColumn(DATE_COL, F.to_date(F.col(ts_col)))
+        .write.partitionBy(DATE_COL)
+        .mode(mode)
+        .parquet(table_path)
+    )
+
+
+def list_partitions(table_path: str) -> list[datetime.date]:
+    """Partition dates present on disk (directory listing, no data read)."""
+    out = []
+    for d in os.listdir(table_path):
+        if d.startswith(f"{DATE_COL}="):
+            out.append(datetime.date.fromisoformat(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def drop_expired_partitions(
+    table_path: str, retention_days: int, now: datetime.date | None = None
+) -> list[datetime.date]:
+    """Delete partitions older than the retention horizon; returns the
+    dropped dates. Pure directory operations — cost is per expired day,
+    independent of table size."""
+    now = now or datetime.date.today()
+    cutoff = now - datetime.timedelta(days=retention_days)
+    dropped = []
+    for day in list_partitions(table_path):
+        if day < cutoff:
+            shutil.rmtree(os.path.join(table_path, f"{DATE_COL}={day.isoformat()}"))
+            dropped.append(day)
+    return dropped
+
+
+def read_dated(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the partitioned table; a filter on ``etl_date`` partition-
+    prunes (PartitionFilters in the scan, not a data filter)."""
+    return spark.read.option("basePath", table_path).parquet(table_path)
