@@ -260,11 +260,19 @@ SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
 N_CELLS = 8  # IVF cells; centroids = vectors with vec_id 0..7 (deterministic)
 
 
+N_PROBE = 2  # query-side multi-probe: search the 2 nearest cells
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization to the nearest of 8 fixed
     centroids (deterministically the first 8 vectors — a production build
     would train k-means on a sample; fixed centroids keep the oracle
-    exact), then top-3 cosine within the query's cell.
+    exact), then top-3 cosine within the query's N_PROBE nearest cells.
+
+    Multi-probe is THE recall lever of IVF (a vector near a cell border
+    loses its true neighbors to the adjacent cell; probing 2 cells
+    recovers them — measured by ann_recall_eval). Corpus vectors stay
+    single-cell; only the tiny query set fans out ×N_PROBE.
 
     Scale shape: the assignment is a broadcast nested-loop over 8
     centroids (a map stage); the search join shuffles on cell id only —
@@ -278,7 +286,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nearest centroid by cosine; total order (csim desc, cell) for ties
     wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-    assigned = (
+    ranked = (
         emb.join(F.broadcast(cents))
         .select(
             "vec_id", "v", "cell", "norm",
@@ -286,10 +294,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.col("norm") * F.col("cnorm"))).alias("csim"),
         )
         .withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "cell", "norm")
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    assigned = ranked.filter(F.col("__rn") == 1).select("vec_id", "v", "cell", "norm")
+    q = ranked.filter(
+        (F.col("__rn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell",
         F.col("norm").alias("qnorm"),
     )
@@ -327,7 +336,8 @@ WITH v AS (
 ), assigned AS (
   SELECT vec_id, v, cell FROM assigned0 WHERE rn = 1
 ), q AS (
-  SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS qid, v AS qv, cell FROM assigned0
+  WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
 ), scored AS (
   SELECT q.qid, q.cell, a.vec_id AS neighbor_id,
          {_list_dot_sql('q.qv', 'a.v')} / ({_list_norm_sql('q.qv')} * {_list_norm_sql('a.v')}) AS cos
