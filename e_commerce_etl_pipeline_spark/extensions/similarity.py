@@ -119,11 +119,17 @@ SELECT qid, rank, neighbor_id FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def sign_bucket(v: Column) -> Column:
-    """4-bit LSH bucket from the signs of dims 1-4 (random-hyperplane LSH
-    with axis-aligned planes — deterministic and oracle-able)."""
+N_TABLES = 4  # L hash tables; table t buckets on signs of dims 4t+1..4t+4
+
+
+def sign_bucket(v: Column, table: int = 0) -> Column:
+    """4-bit LSH bucket from the signs of dims 4·table+1..4·table+4
+    (random-hyperplane LSH with axis-aligned planes — deterministic and
+    oracle-able; each table reads a disjoint dimension group)."""
+    base = 4 * table
     bits = [
-        F.when(F.element_at(v, i) >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << (i - 1))
+        F.when(F.element_at(v, base + i) >= 0, F.lit(1)).otherwise(F.lit(0))
+        * (1 << (i - 1))
         for i in range(1, 5)
     ]
     out = bits[0]
@@ -133,50 +139,85 @@ def sign_bucket(v: Column) -> Column:
 
 
 def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: neighbors only within the query's sign bucket, top-3 per query."""
+    """ANN via multi-table sign-LSH: N_TABLES independent 4-bit tables;
+    a candidate pair needs to collide in ANY table (union → distinct),
+    then exact cosine ranks the top-3. One table alone misses most true
+    neighbors (P(collide) = 2^-4 per table for unrelated dims); the union
+    over L tables drives recall up at L× candidate cost — the standard
+    (k, L) LSH tradeoff, measured by ann_recall_eval.
+
+    Scale shape mirrors the minhash path: the candidate self-join carries
+    only (table, bucket, id) — vectors re-attach by id afterwards — so
+    the shuffle is narrow, and pairs only form inside buckets, never
+    O(n²)."""
     emb = with_norm(load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-    )).withColumn("bucket", sign_bucket(F.col("v")))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket"),
-        F.col("norm").alias("qnorm"),
+    ))
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sign_bucket(F.col("v"), t) for t in range(N_TABLES)])
+        ).alias("tbl", "bucket"),
     )
-    cand = queries.join(emb, ["bucket"]).filter(F.col("vec_id") != F.col("qid"))
-    scored = cand.select(
-        "qid", "bucket",
-        F.col("vec_id").alias("neighbor_id"),
+    qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(banded, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    qv = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("norm").alias("qnorm"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), "v", "norm")
+    scored = cand.join(qv, "qid").join(nv, "neighbor_id").select(
+        "qid", "neighbor_id",
         (dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("qid", "bucket", "rank", "neighbor_id")
+        .select("qid", "rank", "neighbor_id")
     )
 
 
-_BUCKET_SQL = (
-    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
-    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
-    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+def _bucket_sql(table: int) -> str:
+    base = 4 * table
+    return (
+        "(" + " + ".join(
+            f"CASE WHEN embedding[{base + i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END"
+            for i in range(1, 5)
+        ) + ")"
+    )
+
+
+_BANDED_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {t} AS tbl, {_bucket_sql(t)} AS bucket FROM embeddings"
+    for t in range(N_TABLES)
 )
 
 LSH_BUCKETED_TOPK_SQL = f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
-), scored AS (
-  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS neighbor_id,
-         {_dot_sql('q', 'c')} / ({_norm_sql('q')} * {_norm_sql('c')}) AS cos
-  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+{_BANDED_SQL}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT cand.qid, cand.neighbor_id,
+         {_dot_sql('qe', 'ce')} / ({_norm_sql('qe')} * {_norm_sql('ce')}) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
 ), ranked AS (
-  SELECT qid, bucket, neighbor_id,
+  SELECT qid, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT qid, bucket, rank, neighbor_id FROM ranked WHERE rank <= 3
+SELECT qid, rank, neighbor_id FROM ranked WHERE rank <= 3
 """
 
 
