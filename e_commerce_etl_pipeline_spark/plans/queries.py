@@ -1087,6 +1087,44 @@ GROUP BY c_nationkey
 """
 
 
+def part_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.5 D8 beyond union): parts shipped in
+    both 1997 and 1998 (INTERSECT) vs only in 1997 (EXCEPT). Both set ops
+    plan as aggregate/anti-join shapes — no driver-side sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            li.filter(F.year("l_shipdate") == y).select("l_partkey").distinct()
+        )
+
+    both = year_keys(1997).intersect(year_keys(1998))
+    only97 = year_keys(1997).exceptAll(year_keys(1998))
+    return (
+        both.agg(F.lit("both_years").alias("segment"),
+                 F.count(F.lit(1)).alias("n_parts"))
+        .unionByName(
+            only97.agg(F.lit("only_1997").alias("segment"),
+                       F.count(F.lit(1)).alias("n_parts"))
+        )
+    )
+
+
+PART_SETOPS_SQL = """
+SELECT 'both_years' AS segment, COUNT(*) AS n_parts FROM (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+  INTERSECT
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998
+)
+UNION ALL
+SELECT 'only_1997' AS segment, COUNT(*) AS n_parts FROM (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+  EXCEPT
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1127,4 +1165,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "small_quantity_revenue": (small_quantity_revenue, SMALL_QTY_SQL),
     "big_order_customers": (big_order_customers, BIG_ORDER_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
+    "part_activity_setops": (part_activity_setops, PART_SETOPS_SQL),
 }
