@@ -37,3 +37,41 @@ def salted_sum_count(
         F.sum("__psum").alias(sum_alias),
         F.sum("__pcnt").cast("long").alias(count_alias),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: salt-and-replicate.
+
+    The skewed (fact) side gets a deterministic salt derived from its
+    whole row hash; the small (dim) side is replicated ×``n_salts`` via
+    an exploded salt array. Joining on (key, salt) splits each hot key's
+    rows across ``n_salts`` shuffle partitions instead of one straggler
+    task. Result is row-identical to the plain join.
+
+    When to use over AQE skew-join: AQE only splits *sort-merge* join
+    partitions post-shuffle and needs the skew to show up in runtime
+    stats; salting also covers shuffled-hash joins, repeated pipelines
+    where the skew is known ahead of time, and joins feeding
+    partitioning-sensitive downstream ops. Replication multiplies the
+    small side's shuffle volume — keep it for genuinely small dims that
+    just exceed the broadcast threshold.
+
+    Salt must NOT come from rand() (non-deterministic breaks task retry
+    at-least-once semantics) nor monotonically_increasing_id (stable
+    only per-execution): the row-hash salt is recompute-stable.
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]),
+                         F.lit(n_salts)),
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -1087,6 +1087,49 @@ GROUP BY c_nationkey
 """
 
 
+def special_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-conjuncts) join predicate over
+    three brand/size/quantity brackets. The part-side disjunction
+    (brand ∈ {...} AND size ≤ 50) is pushed below the join to prune the
+    broadcast dim; the mixed li×part conjuncts evaluate post-join. One
+    global aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(rev).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SPECIAL_BRACKET_SQL = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def part_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY §2.5 D8 beyond union): parts shipped in
     both 1997 and 1998 (INTERSECT) vs only in 1997 (EXCEPT). Both set ops
@@ -1166,4 +1209,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "big_order_customers": (big_order_customers, BIG_ORDER_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "part_activity_setops": (part_activity_setops, PART_SETOPS_SQL),
+    "special_bracket_revenue": (special_bracket_revenue, SPECIAL_BRACKET_SQL),
 }

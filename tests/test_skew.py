@@ -1,0 +1,56 @@
+"""Salted skew-join: row-identical to the plain join while spreading a
+hot key across salt shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.operators.skew import salted_join
+
+
+def _skewed(spark, n=2000):
+    # ~90% of rows share key 0 — the straggler shape
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 10)
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+
+
+def _dim(spark):
+    return spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("name"), F.col("id")).alias("k_name")
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    fact, dim = _skewed(spark), _dim(spark)
+    plain = sorted(
+        (r.k, r.row_id, r.k_name)
+        for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.row_id, r.k_name)
+        for r in salted_join(fact, dim, "k", n_salts=8).collect()
+    )
+    assert salted == plain and len(plain) == 2000
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = _skewed(spark)
+    salted = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(8))
+    )
+    n_shards = (
+        salted.filter(F.col("k") == 0).select("__salt").distinct().count()
+    )
+    assert n_shards == 8, "hot key must spread across all salt shards"
+
+
+def test_salted_join_left_outer(spark):
+    fact = _skewed(spark)
+    dim = _dim(spark).filter(F.col("k") < 5)
+    out = salted_join(fact, dim, "k", n_salts=4, how="left")
+    assert out.count() == 2000
+    assert out.filter(F.col("k_name").isNull()).count() == \
+        fact.filter(F.col("k") >= 5).count()

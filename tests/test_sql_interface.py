@@ -30,7 +30,8 @@ PORTABLE = [
     "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
     "q6_sql_interface", "retention_filter", "revenue_by_year_region",
     "row_count_report", "sales_rollup", "salted_event_type_totals",
-    "small_quantity_revenue", "top_suppliers_per_nation",
+    "small_quantity_revenue", "special_bracket_revenue",
+    "top_suppliers_per_nation",
     "urgent_share_by_flag", "user_running_totals", "user_value_median",
     "user_value_median_pandas",
 ]
