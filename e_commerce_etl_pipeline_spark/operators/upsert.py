@@ -191,6 +191,57 @@ def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
     return df.drop("__bucket") if "__bucket" in df.columns else df
 
 
+def compact_buckets(
+    spark: SparkSession,
+    table_path: str,
+    max_files_per_bucket: int = 4,
+) -> list[int]:
+    """Small-file compaction for the bucketed table layout.
+
+    Upsert batches do NOT accrete files (dynamic partition overwrite
+    replaces the touched bucket wholesale); accretion comes from
+    append-mode ingestion (K1) and multi-task bulk loads, where every
+    append/task drops one more file into each bucket it touches — the
+    classic small-file problem that at 100 TB degrades listing and task
+    bookkeeping long before I/O. Compaction rewrites only buckets whose
+    file count exceeds ``max_files_per_bucket`` down to one file per
+    bucket, via the same dynamic-partition-overwrite path the upsert
+    uses — slim buckets keep their files byte-identical.
+
+    Returns the bucket ids compacted. Run it opportunistically (e.g.
+    after a burst of appends), exactly like lakehouse OPTIMIZE."""
+    bloated: list[int] = []
+    for d in os.listdir(table_path):
+        if not d.startswith("__bucket="):
+            continue
+        full = os.path.join(table_path, d)
+        n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+        if n > max_files_per_bucket:
+            bloated.append(int(d.split("=", 1)[1]))
+    if not bloated:
+        return bloated
+
+    target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(bloated))
+    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    tmp = tempfile.mkdtemp(prefix="compact_stage_")
+    try:
+        target.repartition("__bucket").write.mode("overwrite").parquet(
+            os.path.join(tmp, "stage")
+        )
+        staged = spark.read.parquet(os.path.join(tmp, "stage"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            staged.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return bloated
+
+
 def stamp_etl_metadata(
     df: DataFrame,
     source_name: str,

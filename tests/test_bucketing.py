@@ -121,3 +121,55 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
 
     out = {r.order_id: r.status for r in read_upsert_table(spark, path).collect()}
     assert out["o3"] == "shipped" and out["o1"] == "created" and len(out) == 64
+
+
+def test_compact_buckets(spark, tmp_path):
+    """Small-file accretion comes from append-mode ingestion (K1) and
+    multi-task bulk loads — each append drops one more file into every
+    bucket it touches. (Upsert batches do NOT accrete: dynamic partition
+    overwrite replaces the touched bucket wholesale — proven above.)
+    Compaction rewrites only buckets over the file threshold, preserves
+    rows, leaves slim buckets' files untouched."""
+    from e_commerce_etl_pipeline_spark.operators.upsert import (
+        _bucket_expr,
+        compact_buckets,
+    )
+
+    path = str(tmp_path / "tbl")
+    base_ts = datetime.datetime(2024, 1, 1)
+    # 6 append slices of 2 keys each — per-bucket file counts end up
+    # uneven (hash-dependent but deterministic for fixed keys)
+    for j in range(6):
+        part = spark.createDataFrame(
+            [(f"o{2 * j}", "i1", "created", base_ts),
+             (f"o{2 * j + 1}", "i1", "created", base_ts)],
+            "order_id string, item_id string, status string, update_time timestamp",
+        ).withColumn("__bucket", _bucket_expr(["order_id", "item_id"], 8))
+        part.coalesce(1).write.mode("append").partitionBy("__bucket").parquet(path)
+
+    before = _bucket_files(path)
+    threshold = 1
+    bloated = sorted(
+        int(d.split("=", 1)[1]) for d in before if len(before[d]) > threshold
+    )
+    slim = [d for d in before if len(before[d]) <= threshold]
+    assert bloated, "fixture must produce at least one multi-file bucket"
+    assert slim, "fixture must produce at least one slim bucket"
+
+    rows_before = sorted(
+        (r.order_id, r.status) for r in read_upsert_table(spark, path).collect()
+    )
+    assert compact_buckets(spark, path, max_files_per_bucket=threshold) == bloated
+
+    after = _bucket_files(path)
+    for d in before:
+        if d in slim:
+            assert after[d] == before[d], f"slim bucket {d} was rewritten"
+        else:
+            assert len(after[d]) == 1
+    rows_after = sorted(
+        (r.order_id, r.status) for r in read_upsert_table(spark, path).collect()
+    )
+    assert rows_after == rows_before
+    # idempotent: nothing left to compact
+    assert compact_buckets(spark, path, max_files_per_bucket=threshold) == []
