@@ -1,0 +1,152 @@
+"""Property-based checks (hypothesis) for the coercion kernel: each
+Spark column builder is compared against a straight-Python model of the
+reference's helper on generated inputs, run through Spark in one batch
+per example set to keep the suite fast."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.functions.coercions import (
+    MS_THRESHOLD_TRANSFORM,
+    epoch_to_ts,
+    null_scrub,
+    safe_bool,
+    safe_int,
+    safe_string,
+)
+
+SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _run(spark, values, col_builder, in_type):
+    df = spark.createDataFrame([(v,) for v in values], f"x {in_type}")
+    return [r.y for r in df.select(col_builder(F.col("x")).alias("y")).collect()]
+
+
+# --- safe_int: int(float(str(v))) with null on failure -------------------
+
+def model_safe_int(s):
+    if s is None:
+        return None
+    try:
+        return int(float(str(s)))
+    except (ValueError, OverflowError):
+        return None
+
+
+@SETTINGS
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(-10**17, 10**17).map(str),
+        st.floats(-1e15, 1e15, allow_nan=False).map(str),
+        st.text(max_size=8),
+    ),
+    min_size=1, max_size=30,
+))
+def test_safe_int_matches_model(spark, vals):
+    got = _run(spark, vals, safe_int, "string")
+    want = [model_safe_int(v) for v in vals]
+    assert got == want
+
+
+# --- safe_bool: literal sets, else NULL ----------------------------------
+
+def model_safe_bool(s):
+    if s is None:
+        return None
+    low = str(s).strip().lower()
+    if low in ("true", "1", "yes", "on"):
+        return True
+    if low in ("false", "0", "no", "off"):
+        return False
+    return None
+
+
+@SETTINGS
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from(["true", "FALSE", " Yes ", "on", "0", "1", "off",
+                         "No", "2", "tru", "", "y"]),
+        st.text(max_size=6),
+    ),
+    min_size=1, max_size=30,
+))
+def test_safe_bool_matches_model(spark, vals):
+    got = _run(spark, vals, safe_bool, "string")
+    want = [model_safe_bool(v) for v in vals]
+    assert got == want
+
+
+# --- epoch ms/s heuristic ------------------------------------------------
+
+def model_epoch_to_ts(v, threshold=MS_THRESHOLD_TRANSFORM):
+    if v is None:
+        return None
+    sec = v / 1000.0 if v > threshold else float(v)
+    return datetime.datetime.fromtimestamp(sec, datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+@SETTINGS
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(0, 10**10),          # seconds territory (incl. boundary)
+        st.integers(10**10 + 1, 10**13),  # ms territory
+    ),
+    min_size=1, max_size=30,
+))
+def test_epoch_heuristic_matches_model(spark, vals):
+    got = _run(spark, vals, epoch_to_ts, "long")
+    want = [model_epoch_to_ts(v) for v in vals]
+    assert got == want
+
+
+# --- null scrub ----------------------------------------------------------
+
+def model_null_scrub(s):
+    # the kernel trims before matching the null-literal set
+    if s is None or s.strip() in ("nan", "NaN", "N/A", "null", "None", "NULL", ""):
+        return None
+    return s
+
+
+@SETTINGS
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from(["nan", "NaN", "N/A", "null", "None", "NULL", "",
+                         "ok", " ", "0", "nAn"]),
+        st.text(max_size=6),
+    ),
+    min_size=1, max_size=30,
+))
+def test_null_scrub_matches_model(spark, vals):
+    got = _run(spark, vals, null_scrub, "string")
+    want = [model_null_scrub(v) for v in vals]
+    assert got == want
+
+
+# --- safe_string truncation ---------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)),
+                min_size=1, max_size=30))
+def test_safe_string_truncates(spark, vals):
+    got = _run(spark, vals, lambda c: safe_string(c, max_len=10), "string")
+    want = [None if v is None else str(v)[:10] for v in vals]
+    assert got == want
