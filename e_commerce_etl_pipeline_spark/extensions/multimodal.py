@@ -97,6 +97,53 @@ def extract_features(media: DataFrame, codec=_fake_decode) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resample: stride-sample the byte stream down to
+    width×height bytes (stand-in for pixel resampling). Replace with a
+    real resize (PIL/cv2) on a cluster with codecs."""
+    target = max(width * height, 1)
+    n = len(payload)
+    if n <= target:
+        return payload
+    stride = n / target
+    return bytes(payload[int(i * stride)] for i in range(target))
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  resizer=_fake_resize) -> DataFrame:
+    """Arrow-batched resize: one mapInPandas pass re-emits (payload, meta)
+    with the target dimensions — the exact plumbing (schema, batch shape,
+    partition-parallelism) a real thumbnailing stage uses; only the
+    ``resizer`` kernel is a stand-in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resizer(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": resized,
+                "meta": [
+                    {"n_bytes": len(p), "width": width, "height": height,
+                     "codec": "fake-v1-resized"}
+                    for p in resized
+                ],
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video-ish payloads: split the payload
     into n_frames equal byte-slices (stand-in for timestamps), one row

@@ -153,3 +153,21 @@ def test_sample_frames(spark, sf_dir):
     frames = sample_frames(media, n_frames=4).collect()
     assert len(frames) == 20
     assert {r.frame_idx for r in frames} == {0, 1, 2, 3}
+
+
+def test_resize_images(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.multimodal import (
+        _fake_resize,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = attach_binary(docs)
+    originals = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    out = {r.doc_id: r for r in resize_images(media, 8, 4).collect()}
+    assert out.keys() == originals.keys()
+    for doc_id, r in out.items():
+        assert bytes(r.payload) == _fake_resize(originals[doc_id], 8, 4)
+        assert r.meta.width == 8 and r.meta.height == 4
+        assert r.meta.n_bytes == len(r.payload) <= max(len(originals[doc_id]), 32)
+        assert r.meta.codec == "fake-v1-resized"
