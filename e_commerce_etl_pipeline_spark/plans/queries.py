@@ -1087,6 +1087,82 @@ GROUP BY c_nationkey
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view → click → purchase, time-ordered per
+    user): one pass computes each user's first timestamp per stage
+    (min-of-CASE — no self-joins), then conditional distinct counts. The
+    classic product-analytics query, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    reached_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(reached_click, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(reached_buy, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_view_then_click,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-event day, counted
+    per days-since-cohort (daily grain — the synthetic events span one
+    month). Two aggregations (first-touch per user, then cohort×offset
+    distinct counts) — the window-free shape that scales: no per-user
+    state beyond the first groupBy."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    daily = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        daily.join(first, "user_id")
+        .withColumn(
+            "days_since",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).cast("long"),
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+  FROM events
+)
+SELECT cohort_day, date_diff('day', cohort_day, active_day) AS days_since,
+       COUNT(DISTINCT daily.user_id) AS n_active
+FROM daily JOIN first ON daily.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
 def special_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive (OR-of-conjuncts) join predicate over
     three brand/size/quantity brackets. The part-side disjunction
@@ -1210,4 +1286,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "part_activity_setops": (part_activity_setops, PART_SETOPS_SQL),
     "special_bracket_revenue": (special_bracket_revenue, SPECIAL_BRACKET_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
 }

@@ -6,7 +6,6 @@ per example set to keep the suite fast."""
 from __future__ import annotations
 
 import datetime
-import math
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -93,12 +92,15 @@ def test_safe_bool_matches_model(spark, vals):
 # --- epoch ms/s heuristic ------------------------------------------------
 
 def model_epoch_to_ts(v, threshold=MS_THRESHOLD_TRANSFORM):
+    # Spark's SecondsToTimestamp on DoubleType computes
+    # (d * MICROS_PER_SECOND).toLong — double multiply, then truncation
+    # toward zero (Scala .toLong), NOT rounding. Python fromtimestamp
+    # rounds, so model the Spark semantics explicitly.
     if v is None:
         return None
     sec = v / 1000.0 if v > threshold else float(v)
-    return datetime.datetime.fromtimestamp(sec, datetime.timezone.utc).replace(
-        tzinfo=None
-    )
+    micros = int(sec * 1e6)
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
 
 
 @SETTINGS
@@ -119,8 +121,11 @@ def test_epoch_heuristic_matches_model(spark, vals):
 # --- null scrub ----------------------------------------------------------
 
 def model_null_scrub(s):
-    # the kernel trims before matching the null-literal set
-    if s is None or s.strip() in ("nan", "NaN", "N/A", "null", "None", "NULL", ""):
+    # the kernel trims before matching the null-literal set. Hypothesis
+    # caught that Spark's trim() strips ONLY spaces (0x20) — unlike
+    # Python str.strip(), which also removes \t\r\n — and DuckDB's trim()
+    # agrees with Spark, so space-only is the cross-engine semantic.
+    if s is None or s.strip(" ") in ("nan", "NaN", "N/A", "null", "None", "NULL", ""):
         return None
     return s
 

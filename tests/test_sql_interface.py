@@ -24,6 +24,7 @@ PORTABLE = [
     "cube_sales", "customer_order_stats", "customers_without_orders",
     "dedup_drop_all", "dedup_keep_newest", "events_hourly_windows",
     "explode_flatten_orders", "first_last_item_per_order",
+    "funnel_conversion",
     "idle_rich_customers", "lang_distribution", "load_statistics",
     "merge_upsert_orders", "order_priority_counts", "part_activity_setops",
     "part_supplier_stats", "pivot_status_by_priority", "promo_revenue_share",
