@@ -21,12 +21,29 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """``edges``: (src, dst) undirected. Returns (node, component) with
-    component = min node id reachable. Iterates until no label changes."""
-    sym = edges.selectExpr("src", "dst").union(
-        edges.selectExpr("dst AS src", "src AS dst")
+    component = min node id reachable. Iterates until no label changes.
+
+    Scale/efficiency notes (this loop runs ONE action per iteration):
+
+    - The edge list is persisted up front: without the cache every
+      iteration's action would re-execute the whole upstream
+      pair-detection pipeline (minhash, band join, Jaccard verify).
+    - Convergence is detected WITHOUT a join: labels only ever decrease
+      under min-propagation, so ``sum(component)`` is strictly
+      decreasing until fixpoint; comparing successive sums is an O(V)
+      map-side aggregate folded into the same action that materializes
+      the new generation. (Decimal sum — exact at any node count, no
+      bigint overflow at 100 TB id ranges.)
+    - Old label generations are unpersisted as soon as the next one is
+      materialized, so memory held is O(V + E) regardless of rounds."""
+    sym = (
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .persist()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node"))
+    labels = nodes.withColumn("component", F.col("node")).persist()
+    prev_sum = None
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -42,17 +59,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
+            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.persist()
-        if changed == 0:
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
+    sym.unpersist()
     return labels
 
 
