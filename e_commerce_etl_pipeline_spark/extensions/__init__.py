@@ -10,6 +10,7 @@ from .similarity import EXT_QUERIES as SIMILARITY_QUERIES  # noqa: F401
 from .multimodal import EXT_QUERIES as MULTIMODAL_QUERIES  # noqa: F401
 from .grouped_pandas import EXT_QUERIES as GROUPED_PANDAS_QUERIES  # noqa: F401
 from .components import EXT_QUERIES as COMPONENTS_QUERIES  # noqa: F401
+from .curation import EXT_QUERIES as CURATION_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **TEXT_QUERIES,
@@ -18,4 +19,5 @@ ALL_EXT_QUERIES = {
     **MULTIMODAL_QUERIES,
     **GROUPED_PANDAS_QUERIES,
     **COMPONENTS_QUERIES,
+    **CURATION_QUERIES,
 }

@@ -1163,6 +1163,231 @@ GROUP BY 1, 2
 """
 
 
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume per year. The fact join
+    (lineitem ⨝ orders) shuffles once on orderkey; customer, supplier and
+    the nation dims all broadcast, so the cust-nation ≠ supp-nation
+    filter never forces a second fact shuffle."""
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            "cust_nation", "supp_nation",
+            F.year("o_orderdate").cast("int").alias("trade_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+            ).alias("volume")
+        )
+    )
+
+
+NATION_TRADE_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INT) AS trade_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS volume
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of EUROPE-customer
+    revenue per year — a ratio of conditional decimal sums (exact), cast
+    to double only for the final division."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(sup_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("share_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0).cast("decimal(23,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS share_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue of returned items in
+    one quarter. Predicates (returnflag, date window) reach the scans
+    before the orderkey shuffle; customer and nation broadcast; total
+    ORDER BY (revenue DESC, c_custkey) makes the LIMIT deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+            ).alias("returned_revenue")
+        )
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS returned_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY returned_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (left join). Two aggregations: count
+    per customer (shuffle on custkey), then the tiny count-of-counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+CUST_ORDER_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose windowed revenue equals the
+    global max. The scalar max comes from a 1-row aggregate broadcast
+    back against the per-supplier revenue — no window over an unbounded
+    unpartitioned frame (which would serialize on one task at scale).
+    Decimal revenue makes the equality exact."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev["__max_rev"])
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 def special_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive (OR-of-conjuncts) join predicate over
     three brand/size/quantity brackets. The part-side disjunction
@@ -1288,4 +1513,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "special_bracket_revenue": (special_bracket_revenue, SPECIAL_BRACKET_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
+    "nation_trade_volume": (nation_trade_volume, NATION_TRADE_SQL),
+    "regional_market_share": (regional_market_share, MARKET_SHARE_SQL),
+    "returned_revenue_customers": (returned_revenue_customers, RETURNED_REVENUE_SQL),
+    "customer_order_distribution": (customer_order_distribution, CUST_ORDER_DIST_SQL),
+    "top_revenue_supplier": (top_revenue_supplier, TOP_SUPPLIER_SQL),
 }
