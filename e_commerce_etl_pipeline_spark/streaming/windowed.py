@@ -11,6 +11,13 @@ op is keyed upsert); these are the engine's streaming-native additions:
   explicit per-key state (the streaming twin of exact_dedup): emits only
   keys never seen before; state = one flag per key, partitioned by key
   so state shards scale with executors.
+- ``session_counts``: native session windows (``F.session_window``) —
+  gap-based sessionization with watermark-evicted state, the streaming
+  twin of the batch ``sessionize_events`` query.
+- ``enrich_with_dim``: stream-static broadcast join — per-micro-batch
+  dimension enrichment, the streaming form of the batch broadcast-dim
+  joins (the static side is re-resolved each micro-batch, so a slowly
+  refreshed dim table is picked up without restarting the query).
 """
 
 from __future__ import annotations
@@ -39,6 +46,34 @@ def windowed_counts(stream: DataFrame, ts_col: str = "ts",
                 *([group_col] if group_col else []),
                 "n_events")
     )
+
+
+def session_counts(stream: DataFrame, ts_col: str = "ts",
+                   gap: str = "30 minutes", watermark: str = "2 hours",
+                   key_col: str = "user_id") -> DataFrame:
+    """Watermarked session-window aggregation: one row per (key, session),
+    where a session closes after ``gap`` of key inactivity. State per key
+    is the open session only, evicted once the watermark passes its end —
+    bounded regardless of stream length."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    on: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (small) static
+    dimension via broadcast hash join — no shuffle of the stream side,
+    no streaming state."""
+    return stream.join(F.broadcast(dim), on, "left")
 
 
 DEDUP_OUT_SCHEMA = T.StructType([

@@ -6,7 +6,9 @@ import datetime
 from pyspark.sql import types as T
 
 from e_commerce_etl_pipeline_spark.streaming.windowed import (
+    enrich_with_dim,
     running_dedup_stream,
+    session_counts,
     windowed_counts,
 )
 
@@ -85,3 +87,59 @@ def test_running_dedup_stream(spark, tmp_path):
     ])
     run_once()
     assert set(emitted) == {"purchase"}  # 'click' state survived the restart
+
+
+USER_EV_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+])
+
+
+def test_session_counts_gap_semantics(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 40-min gap
+        # (> 30-min gap -> second session)
+        (1, ts("2024-01-01T00:00:00"), "click"),
+        (1, ts("2024-01-01T00:10:00"), "click"),
+        (1, ts("2024-01-01T00:50:00"), "view"),
+        # user 2: single event
+        (2, ts("2024-01-01T00:05:00"), "click"),
+        # far-future event advances the watermark so sessions finalize
+        (3, ts("2024-01-01T09:00:00"), "click"),
+    ]
+    spark.createDataFrame(rows, USER_EV_SCHEMA).write.mode(
+        "overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(USER_EV_SCHEMA).option(
+        "recursiveFileLookup", "true").parquet(str(src))
+    q = (session_counts(stream).writeStream.format("memory")
+         .queryName("sess").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.sql("SELECT * FROM sess").collect()}
+    assert (1, ts("2024-01-01T00:00:00"), 2) in got   # merged session
+    assert (1, ts("2024-01-01T00:50:00"), 1) in got   # after the gap
+    assert (2, ts("2024-01-01T00:05:00"), 1) in got
+
+
+def test_enrich_with_dim_broadcast_join(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([
+        (1, ts("2024-01-01T00:00:00"), "click"),
+        (9, ts("2024-01-01T00:01:00"), "view"),     # no dim match -> NULLs
+    ], USER_EV_SCHEMA).write.mode("overwrite").parquet(str(src / "b1"))
+    dim = spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string")
+    stream = spark.readStream.schema(USER_EV_SCHEMA).option(
+        "recursiveFileLookup", "true").parquet(str(src))
+    q = (enrich_with_dim(stream, dim, "user_id").writeStream
+         .format("memory").queryName("enriched").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.user_id: r.tier for r in
+           spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "gold", 9: None}
