@@ -1388,6 +1388,177 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − cost) on 'red' parts by supplier
+    nation and year. No partsupp table in this schema, so cost =
+    p_retailprice × l_quantity. Part filter prunes before the fact
+    shuffle; supplier/nation broadcast; all money stays decimal (exact)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+        - _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("profit_year"))
+        .agg(F.sum(profit).alias("profit"))
+    )
+
+
+PRODUCT_PROFIT_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS profit_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket, excluding one brand, one type, and 'complaint' suppliers
+    (negative acctbal) via NOT IN — expressed as a broadcast anti-join,
+    the null-safe, scale-safe rewrite of NOT IN."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 20, 25, 30, 40, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_COUNT_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 11, 20, 25, 30, 40, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a 'red'
+    part's 1996 volume. The correlated per-part total is a second
+    aggregation over the first one's output (already tiny), and the
+    half-comparison uses 2×q_ps > q_p so everything stays in exact
+    decimals — no 0.5 float factor."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q_ps"))
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q_ps").alias("q_p")
+    )
+    return (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("q_ps") * 2 > F.col("q_p"))
+        .join(F.broadcast(sup), per_ps.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+EXCESS_VOLUME_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_ps
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
+  GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey, SUM(q_ps) AS q_p FROM per_ps GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM per_ps
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE q_ps * 2 > q_p
+"""
+
+
+def exclusive_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in multi-supplier orders, the supplier who is the
+    ONLY one with returned lines (exists-another / not-exists-another
+    rewritten as one per-order aggregate + a window over its output —
+    one fact shuffle on orderkey, then windows over already-reduced
+    rows). Top-10 by fault count with full tie-break."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey", "l_suppkey", "has_r",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("has_r").over(w).alias("n_fault"),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_fault") == 1) & (F.col("has_r") == 1)
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+EXCLUSIVE_FAULT_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY 1, 2
+), flagged AS (
+  SELECT l_orderkey, l_suppkey, has_r,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(has_r) OVER (PARTITION BY l_orderkey) AS n_fault
+  FROM per_os
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_fault = 1 AND has_r = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
 def special_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive (OR-of-conjuncts) join predicate over
     three brand/size/quantity brackets. The part-side disjunction
@@ -1518,4 +1689,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "returned_revenue_customers": (returned_revenue_customers, RETURNED_REVENUE_SQL),
     "customer_order_distribution": (customer_order_distribution, CUST_ORDER_DIST_SQL),
     "top_revenue_supplier": (top_revenue_supplier, TOP_SUPPLIER_SQL),
+    "product_profit_by_nation": (product_profit_by_nation, PRODUCT_PROFIT_SQL),
+    "supplier_count_by_part_attrs": (supplier_count_by_part_attrs, SUPPLIER_COUNT_SQL),
+    "excess_volume_suppliers": (excess_volume_suppliers, EXCESS_VOLUME_SQL),
+    "exclusive_fault_suppliers": (exclusive_fault_suppliers, EXCLUSIVE_FAULT_SQL),
 }

@@ -26,12 +26,15 @@ PORTABLE = [
     "explode_flatten_orders", "first_last_item_per_order",
     "funnel_conversion",
     "customer_order_distribution",
+    "excess_volume_suppliers", "exclusive_fault_suppliers",
     "idle_rich_customers", "lang_distribution", "load_statistics",
     "merge_upsert_orders", "nation_trade_volume", "order_priority_counts",
     "part_activity_setops",
-    "part_supplier_stats", "pivot_status_by_priority", "promo_revenue_share",
+    "part_supplier_stats", "pivot_status_by_priority",
+    "product_profit_by_nation", "promo_revenue_share",
     "regional_market_share", "returned_revenue_customers",
-    "stratified_lang_sample", "top_revenue_supplier",
+    "stratified_lang_sample", "supplier_count_by_part_attrs",
+    "top_revenue_supplier",
     "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
     "q6_sql_interface", "retention_filter", "revenue_by_year_region",
     "row_count_report", "sales_rollup", "salted_event_type_totals",
