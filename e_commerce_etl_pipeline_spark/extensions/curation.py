@@ -103,7 +103,108 @@ WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+QUALITY_THRESHOLD = 0.7
+
+
+def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality-filter step as a first-class op: per
+    (lang, source), documents and tokens kept vs dropped at the
+    QUALITY_THRESHOLD. One scan, one shuffle on the tiny group key —
+    the shape of a 100 TB filter report (the filtered corpus itself is
+    the same predicate applied in a select)."""
+    from .text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = quality_score(F.col("text")) >= QUALITY_THRESHOLD
+    n_tok = token_count(F.col("text")).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(keep, n_tok).otherwise(F.lit(0))).alias("tokens_kept"),
+    )
+
+
+def _quality_sql_expr() -> str:
+    # mirror of text.TEXT_STATS_SQL's quality expression
+    from .text import STOPWORDS
+
+    stop_in = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""(least(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 50.0, 1.0)
+        + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN ({stop_in}))) AS DOUBLE)
+                / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) * 5.0, 1.0)
+        + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) <= 0.1 THEN 1.0 ELSE 0.5 END) / 3.0"""
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+SELECT lang, source,
+       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 0 ELSE 1 END) AS n_dropped,
+       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD}
+            THEN CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) ELSE 0 END) AS tokens_kept
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministically injected
+    contact lines (every 10th doc — the synthetic texts contain no PII,
+    so the op must plant what it scrubs, same trick as the mutated
+    near-dup corpus). Emails then phones are replaced by placeholder
+    tags; output is flags + redacted-content fingerprint, all JVM-side
+    regex — the 100 TB path is this exact select."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 123 4567"),
+        ),
+    ).otherwise(F.col("text"))
+    with_pii = docs.select("doc_id", injected.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE, "[PHONE]",
+    )
+    return with_pii.select(
+        "doc_id",
+        (F.col("text") != redacted).alias("had_pii"),
+        F.md5(redacted).alias("redacted_fp"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+    )
+
+
+REDACT_PII_SQL = f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS STRING) || '@example.com or +1 555 123 4567'
+              ELSE text END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM with_pii
+)
+SELECT doc_id, text <> redacted AS had_pii, md5(redacted) AS redacted_fp,
+       CAST(length(redacted) AS BIGINT) AS n_chars_redacted
+FROM red
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SQL),
+    "quality_filter_summary": (quality_filter_summary, _quality_filter_sql()),
+    "redact_pii_docs": (redact_pii_docs, REDACT_PII_SQL),
 }
