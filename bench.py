@@ -28,10 +28,15 @@ HEADLINE = [
     "dedup_keep_newest", "merge_upsert_orders", "explode_flatten_orders",
     "coercion_kernel_events", "sessionize_events", "user_running_totals",
     "revenue_by_year_region", "salted_event_type_totals",
+    # TPC-H breadth (multi-join, window rewrite, two-level agg)
+    "nation_trade_volume", "returned_revenue_customers",
+    "customer_order_distribution", "exclusive_fault_suppliers",
     # LLM-pipeline extensions
     "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
     "user_value_median", "multimodal_features",
+    # curation
+    "stratified_lang_sample", "token_budget_sample",
 ]
 
 
