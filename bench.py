@@ -37,6 +37,8 @@ HEADLINE = [
     "user_value_median", "multimodal_features",
     # curation
     "stratified_lang_sample", "token_budget_sample",
+    # range join + semi-structured read-back
+    "event_pairs_range_join", "props_json_totals",
 ]
 
 

@@ -1644,6 +1644,66 @@ SELECT 'only_1997' AS segment, COUNT(*) AS n_parts FROM (
 # Registry
 # --------------------------------------------------------------------------
 
+def event_pairs_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) self-join: ordered event pairs per user within one
+    hour, aggregated by the (earlier, later) event-type transition.
+    The reference has no range joins (SURVEY §2.6); this is the
+    extension scale path — the band is folded into the equi-join key
+    via time bucketing (operators/range_join.py), so the join never
+    degrades to per-user quadratic on hot users."""
+    from ..operators.range_join import band_self_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    pairs = band_self_join(ev, ["user_id"], "ts", 3600 * 1_000_000)
+    return pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
+EVENT_PAIRS_RANGE_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + CAST(3600 AS BIGINT) * 1000000
+GROUP BY 1, 2
+"""
+
+
+def props_json_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured escape hatch, read-back side: the reference
+    JSON-stringifies structs into NVARCHAR columns for later ad-hoc
+    querying (src/transformers/tiktok_shop_transformer.py:152-156,
+    SURVEY §1.2). Here the stored JSON (`events.props`) is queried with
+    get_json_object — a codegen'd JVM path, no Python UDF — and
+    aggregated per extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    prop_k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy(prop_k.alias("prop_k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).alias("total_value"),
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
@@ -1693,4 +1753,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "supplier_count_by_part_attrs": (supplier_count_by_part_attrs, SUPPLIER_COUNT_SQL),
     "excess_volume_suppliers": (excess_volume_suppliers, EXCESS_VOLUME_SQL),
     "exclusive_fault_suppliers": (exclusive_fault_suppliers, EXCLUSIVE_FAULT_SQL),
+    "event_pairs_range_join": (event_pairs_range_join, EVENT_PAIRS_RANGE_SQL),
+    "props_json_totals": (props_json_totals, PROPS_JSON_SQL),
 }
