@@ -39,6 +39,7 @@ HEADLINE = [
     "stratified_lang_sample", "token_budget_sample",
     # range join + semi-structured read-back
     "event_pairs_range_join", "props_json_totals",
+    "customer_spend_deciles",
 ]
 
 

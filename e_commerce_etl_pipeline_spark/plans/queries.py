@@ -1704,6 +1704,44 @@ GROUP BY 1
 """
 
 
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of customers by lifetime spend (ntile ranking
+    window -> per-decile stats). The global ntile sorts only the
+    per-customer aggregate — ~4 orders of magnitude smaller than the
+    fact table — so the single-partition ranking window is safe; at
+    larger dimension cardinalities swap in approx-quantile boundaries +
+    a bucket join. Ties broken by custkey so both engines agree."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.sum("spend").alias("decile_spend"),
+        )
+    )
+
+
+SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers, MIN(spend) AS min_spend,
+       MAX(spend) AS max_spend, SUM(spend) AS decile_spend
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
@@ -1755,4 +1793,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "exclusive_fault_suppliers": (exclusive_fault_suppliers, EXCLUSIVE_FAULT_SQL),
     "event_pairs_range_join": (event_pairs_range_join, EVENT_PAIRS_RANGE_SQL),
     "props_json_totals": (props_json_totals, PROPS_JSON_SQL),
+    "customer_spend_deciles": (customer_spend_deciles, SPEND_DECILES_SQL),
 }

@@ -21,7 +21,8 @@ import __spark_entry__ as entrymod
 # compare). Shrinking this list is a regression.
 PORTABLE = [
     "asof_last_purchase", "big_order_customers", "cheapest_part_per_brand",
-    "cube_sales", "customer_order_stats", "customers_without_orders",
+    "cube_sales", "customer_order_stats", "customer_spend_deciles",
+    "customers_without_orders",
     "dedup_drop_all", "dedup_keep_newest", "events_hourly_windows",
     "explode_flatten_orders", "first_last_item_per_order",
     "funnel_conversion",
