@@ -184,6 +184,10 @@ def upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
         shutil.rmtree(tmp, ignore_errors=True)
+    # The rewrite replaced files under paths the session may hold cached
+    # listings for (FileStatusCache has no TTL by default) — invalidate,
+    # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(table_path)
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
@@ -239,6 +243,10 @@ def compact_buckets(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
         shutil.rmtree(tmp, ignore_errors=True)
+    # The rewrite replaced files under paths the session may hold cached
+    # listings for (FileStatusCache has no TTL by default) — invalidate,
+    # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(table_path)
     return bloated
 
 
