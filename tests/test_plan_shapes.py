@@ -1,0 +1,65 @@
+"""Physical-plan regression guards for the flagship queries.
+
+Correctness is pinned by the DuckDB oracles; these tests pin the SHAPE
+of the plans — pushdown reaching the parquet scans, dimensions
+broadcast, no accidental cartesian/nested-loop fallbacks — so a future
+edit can't silently trade a broadcast hash join for a per-key quadratic
+plan while still returning the right rows at test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Queries where a BroadcastNestedLoopJoin is the intended plan: a tiny
+# broadcast side probed by every row (ANN brute force / evaluation, and
+# the token-budget threshold join). Everything else must stay hash-based.
+NESTED_LOOP_OK = {
+    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "ann_recall_eval",
+    "embedding_near_dup_pairs", "token_budget_sample",
+    # scalar-subquery shapes: the broadcast side is one computed row
+    # (retention cutoff / global average balance)
+    "retention_filter", "idle_rich_customers",
+}
+
+
+def _plan(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize("name", ["q5_revenue_by_nation", "nation_trade_volume",
+                                  "returned_revenue_customers"])
+def test_dims_broadcast_in_star_joins(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "l_shipdate" in scan
+
+
+def test_range_join_is_equi_on_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_pairs_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the band bucket must be part of the equi-join key
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l
+                     or "SortMergeJoin" in l)
+    assert "_probe" in join_line and "_bucket" in join_line
