@@ -89,10 +89,10 @@ TOKEN_BUDGET_SQL = f"""
 SELECT doc_id, lang, n_tokens, cum_tokens
 FROM (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (
+         CAST(SUM(n_tokens) OVER (
            PARTITION BY lang ORDER BY n_chars DESC, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_tokens
+         ) AS BIGINT) AS cum_tokens
   FROM (
     SELECT doc_id, lang, n_chars,
            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
@@ -139,10 +139,10 @@ def _quality_sql_expr() -> str:
 def _quality_filter_sql() -> str:
     return f"""
 SELECT lang, source,
-       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 0 ELSE 1 END) AS n_dropped,
-       SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD}
-            THEN CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD} THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN {_quality_sql_expr()} >= {QUALITY_THRESHOLD}
+            THEN CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM documents
 GROUP BY 1, 2
 """

@@ -235,10 +235,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_CENTROIDS_SQL = """
 SELECT label, COUNT(*) AS n_vecs,
-       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d1_scaled,
-       SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d2_scaled,
-       SUM(CAST(floor(CAST(embedding[3] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d3_scaled,
-       SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000000) AS BIGINT)) AS sum_d4_scaled
+       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS sum_d1_scaled,
+       CAST(SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS sum_d2_scaled,
+       CAST(SUM(CAST(floor(CAST(embedding[3] AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS sum_d3_scaled,
+       CAST(SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS sum_d4_scaled
 FROM embeddings GROUP BY label
 """
 
@@ -434,9 +434,9 @@ approx AS (
   SELECT 'ivf' AS method, qid, neighbor_id FROM ivfq
 )
 SELECT method, COUNT(*) AS n_returned,
-       SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
                              WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
-           THEN 1 ELSE 0 END) AS hits,
+           THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
                              WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
            THEN 1 ELSE 0 END) AS DOUBLE) / {float(N_QUERIES * 3)} AS recall_at_3

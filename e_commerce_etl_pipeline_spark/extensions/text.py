@@ -117,7 +117,7 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANG_DISTRIBUTION_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
 FROM documents GROUP BY lang
 """
 

@@ -6,8 +6,16 @@ Determinism rules (so Spark and DuckDB hash-match on values):
 - money/metric doubles are cast per-value to DECIMAL before SUM — decimal
   addition is exact and associative, so shuffle/aggregation order can't
   change a bit (double SUM order-sensitivity would);
+- FINAL outputs never expose DECIMAL: the exact decimal aggregate gets one
+  trailing CAST to DOUBLE on BOTH sides (decimal->double is correctly
+  rounded and bit-identical across JVM/DuckDB/Python — verified), because
+  the driver's canonicalizer formats Decimal and float differently even
+  when values are equal. Same for NTILE/derived ints: BIGINT on both sides
+  (DuckDB SUM(int)/NTILE return HUGEINT/BIGINT where Spark returns int).
 - averages are exact decimal sums cast to double, divided by counts —
   never engine AVG (engines disagree on decimal division scale);
+- any column used in ORDER BY / range filters is cast to double BEFORE the
+  sort or filter on both sides, so both engines compare identical doubles;
 - every LIMIT has a total ORDER BY (unique tie-break key);
 - column names are aliased identically on both sides.
 
@@ -65,11 +73,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1997-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)).alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)).cast("double").alias("sum_disc_price"),
             F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)
-                  * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 4, 2))).alias("sum_charge"),
+                  * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 4, 2))).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,10 +85,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
@@ -96,7 +104,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-15")
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-    ).alias("revenue")
+    ).cast("double").alias("revenue")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -109,7 +117,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -131,7 +139,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-    ).alias("revenue")
+    ).cast("double").alias("revenue")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -146,7 +154,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -166,7 +174,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_extendedprice")).alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
     )
     joined = (
         rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
@@ -182,7 +190,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_SUPPLIERS_SQL = """
 WITH rev AS (
-  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_suppkey
 ), ranked AS (
   SELECT n_name, s_suppkey, s_name, revenue,
@@ -206,14 +214,14 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(_dec("o_totalprice")).alias("total_sales"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_sales"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 SALES_ROLLUP_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -249,23 +257,23 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("total_spent"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
     )
     out = agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
     return out.select(
         F.col("c_custkey"), F.col("c_name"), F.col("n_orders"), F.col("total_spent"),
-        (F.col("total_spent").cast("double") / F.col("n_orders")).alias("avg_order_value"),
+        (F.col("total_spent") / F.col("n_orders")).alias("avg_order_value"),
     ).filter(F.col("n_orders") >= 12)
 
 
 CUSTOMER_ORDER_STATS_SQL = """
 WITH agg AS (
   SELECT o_custkey, COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
   FROM orders GROUP BY o_custkey
 )
 SELECT c_custkey, c_name, n_orders, total_spent,
-       CAST(total_spent AS DOUBLE) / n_orders AS avg_order_value
+       total_spent / n_orders AS avg_order_value
 FROM agg JOIN customer ON o_custkey = c_custkey
 WHERE n_orders >= 12
 """
@@ -286,12 +294,12 @@ def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", _dec("value").alias("value"))
+        .select("user_id", "event_type", "event_id", "ts", "value")
     )
 
 
 DEDUP_KEEP_NEWEST_SQL = """
-SELECT user_id, event_type, event_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+SELECT user_id, event_type, event_id, ts, value
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -307,11 +315,11 @@ def dedup_drop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     out = drop_all_duplicates(ev, ["event_type", "value"])
-    return out.select("event_id", "user_id", "event_type", _dec("value").alias("value"))
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 DEDUP_DROP_ALL_SQL = """
-SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
+SELECT event_id, user_id, event_type, value
 FROM (
   SELECT *, COUNT(*) OVER (PARTITION BY event_type, value) AS cnt FROM events
 ) WHERE cnt = 1
@@ -339,7 +347,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = source.unionByName(new_keys)
     out = resolve_upsert(orders, src, ["o_orderkey"], "o_orderdate",
                          guard_cols=["o_orderstatus"])
-    return out
+    return out.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
 
 
 MERGE_UPSERT_SQL = """
@@ -362,8 +370,8 @@ SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
             THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
        CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
             THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-       CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
-            THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CAST(CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
+            THEN s.o_totalprice ELSE t.o_totalprice END AS DOUBLE) AS o_totalprice,
        CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
             THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
        CASE WHEN t.o_orderkey IS NULL OR (s.o_orderkey IS NOT NULL AND (t.o_orderdate < s.o_orderdate OR (t.o_orderdate = s.o_orderdate AND t.o_orderstatus IS DISTINCT FROM s.o_orderstatus)))
@@ -403,7 +411,7 @@ def explode_flatten_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flat.select(
         "o_orderkey", "o_orderstatus", "total_items_in_order", "has_multiple_items",
-        "l_linenumber", "l_partkey", "l_quantity",
+        "l_linenumber", "l_partkey", F.col("l_quantity").cast("double").alias("l_quantity"),
     )
 
 
@@ -418,7 +426,7 @@ cnt AS (
 SELECT o.o_orderkey, o.o_orderstatus,
        CAST(c.n AS INT) AS total_items_in_order,
        c.n > 1 AS has_multiple_items,
-       b.l_linenumber, b.l_partkey, CAST(b.l_quantity AS DECIMAL(18,2)) AS l_quantity
+       b.l_linenumber, b.l_partkey, CAST(CAST(b.l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity
 FROM orders o JOIN cnt c ON o.o_orderkey = c.o_orderkey
 LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
 WHERE o.o_orderkey % 7 = 0
@@ -441,7 +449,7 @@ def coercion_kernel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
         epoch_to_ts(epoch).alias("ts_normalized"),
         null_scrub(F.when(F.col("event_type") == "error", "N/A").otherwise(F.col("event_type"))).alias("etype_clean"),
-        safe_decimal("value", 18, 2).alias("value_dec"),
+        safe_decimal("value", 18, 2).cast("double").alias("value_dec"),
     )
 
 
@@ -450,7 +458,7 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
        date_trunc('second', ts) AS ts_normalized,
        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype_clean,
-       CAST(value AS DECIMAL(18,2)) AS value_dec
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
 FROM events
 """
 
@@ -508,15 +516,15 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("seq"),
         F.sum(_dec("value")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("running_value"),
+        ).cast("double").alias("running_value"),
     )
 
 
 USER_RUNNING_TOTALS_SQL = """
 SELECT user_id, event_id, ts,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
-       SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
 """
 
@@ -536,7 +544,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(_dec("value")).alias("session_value"),
+        F.sum(_dec("value")).cast("double").alias("session_value"),
     )
 
 
@@ -555,7 +563,7 @@ WITH flagged AS (
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions GROUP BY user_id, session_seq
 """
 
@@ -590,14 +598,14 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over status × priority with decimal-exact totals."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum(_dec("o_totalprice")).alias("total_sales"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_sales"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 CUBE_SALES_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
        COUNT(*) AS n_orders
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -662,12 +670,14 @@ def schema_aligned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("channel", T.StringType()),      # missing -> NULL
         T.StructField("value", T.DecimalType(18, 2)),  # cast double -> decimal
     ])
-    return align_to_schema(load_table(spark, sf_dir, "events"), target)
+    aligned = align_to_schema(load_table(spark, sf_dir, "events"), target)
+    # driver-canon: no decimal in final outputs (module docstring)
+    return aligned.withColumn("value", F.col("value").cast("double"))
 
 
 SCHEMA_ALIGNED_SQL = """
 SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS channel,
-       CAST(value AS DECIMAL(18,2)) AS value
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
 FROM events
 """
 
@@ -734,7 +744,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -746,7 +756,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -763,12 +773,12 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2.join(F.broadcast(mins), "p_brand")
         .filter(_dec("p_retailprice") == F.col("min_price"))
         .select("p_brand", "p_partkey", "p_name",
-                _dec("p_retailprice").alias("p_retailprice"))
+                _dec("p_retailprice").cast("double").alias("p_retailprice"))
     )
 
 
 CHEAPEST_PART_SQL = """
-SELECT p_brand, p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+SELECT p_brand, p_partkey, p_name, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
 FROM part p
 WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
   SELECT MIN(CAST(p_retailprice AS DECIMAL(18,2))) FROM part p2 WHERE p2.p_brand = p.p_brand
@@ -785,7 +795,7 @@ def revenue_by_year_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     revenue = F.sum(
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-    ).alias("revenue")
+    ).cast("double").alias("revenue")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -798,7 +808,7 @@ def revenue_by_year_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_YEAR_REGION_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS order_year, r_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -819,7 +829,7 @@ def part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_orderkey").alias("n_orders"),
-            F.sum(_dec("l_quantity")).alias("total_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
 
@@ -828,7 +838,7 @@ PART_SUPPLIER_STATS_SQL = """
 SELECT p_type,
        COUNT(DISTINCT l_suppkey) AS n_suppliers,
        COUNT(DISTINCT l_orderkey) AS n_orders,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 """
@@ -842,22 +852,23 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_sum_count
 
     ev = load_table(spark, sf_dir, "events")
-    return salted_sum_count(
+    out = salted_sum_count(
         ev, ["event_type"], _dec("value"), n_salts=16,
         sum_alias="total_value", count_alias="n_events",
     )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 SALTED_TOTALS_SQL = """
 SELECT event_type,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
 
 
 Q6_TEXT = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS potential_revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS potential_revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -917,8 +928,8 @@ def urgent_share_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 URGENT_SHARE_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -936,12 +947,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_revenue"),
-            F.sum(rev).alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
         )
         .withColumn(
             "promo_share",
-            F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double"),
+            F.col("promo_revenue") / F.col("total_revenue"),
         )
     )
 
@@ -949,14 +960,14 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROMO_SHARE_SQL = """
 WITH m AS (
   SELECT date_trunc('month', l_shipdate) AS ship_month,
-         SUM(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS promo_revenue,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1
 )
 SELECT CAST(ship_month AS TIMESTAMP) AS ship_month, promo_revenue, total_revenue,
-       CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS promo_share
+       promo_revenue / total_revenue AS promo_share
 FROM m
 """
 
@@ -977,7 +988,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(qd * 2 * F.col("part_qty_cnt") < F.col("part_qty_sum"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(_dec("l_extendedprice")).alias("small_qty_revenue"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -992,7 +1003,7 @@ WITH w AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS small_qty_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
        COUNT(*) AS n_lines
 FROM w
 WHERE qd * 2 * part_qty_cnt < part_qty_sum
@@ -1010,7 +1021,7 @@ def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -1018,7 +1029,7 @@ def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            _dec("o_totalprice").alias("o_total"), "total_qty",
+            _dec("o_totalprice").cast("double").alias("o_total"), "total_qty",
         )
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(20)
@@ -1027,11 +1038,11 @@ def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIG_ORDER_SQL = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS o_total, total_qty
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total, total_qty
 FROM (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
 ) big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1067,7 +1078,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).alias("total_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
 
@@ -1078,7 +1089,7 @@ WITH a AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, COUNT(*) AS n_customers,
-       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer, a
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1117,9 +1128,9 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_view_then_click,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -1131,11 +1142,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts) — the window-free shape that scales: no per-user
     state beyond the first groupBy."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # cohort_day is a day boundary but typed TIMESTAMP: Spark DATE arrives
+    # in pandas/Arrow as object(datetime.date) while DuckDB DATE arrives as
+    # datetime64 — a canon mismatch even when values agree.
     first = ev.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("cohort_day")
+        F.to_date(F.min("ts")).cast("timestamp").alias("cohort_day")
     )
     daily = ev.select(
-        "user_id", F.to_date(F.col("ts")).alias("active_day")
+        "user_id", F.to_date(F.col("ts")).cast("timestamp").alias("active_day")
     ).distinct()
     return (
         daily.join(first, "user_id")
@@ -1150,10 +1164,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COHORT_SQL = """
 WITH first AS (
-  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+  SELECT user_id, CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP) AS cohort_day
   FROM events GROUP BY user_id
 ), daily AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS active_day
   FROM events
 )
 SELECT cohort_day, date_diff('day', cohort_day, active_day) AS days_since,
@@ -1193,7 +1207,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 _dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-            ).alias("volume")
+            ).cast("double").alias("volume")
         )
     )
 
@@ -1201,7 +1215,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_TRADE_SQL = """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        CAST(year(o_orderdate) AS INT) AS trade_year,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS volume
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN supplier  ON l_suppkey = s_suppkey
@@ -1291,7 +1305,7 @@ def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 _dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
-            ).alias("returned_revenue")
+            ).cast("double").alias("returned_revenue")
         )
         .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1300,7 +1314,7 @@ def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETURNED_REVENUE_SQL = """
 SELECT c_custkey, c_name, n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS returned_revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS returned_revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1369,7 +1383,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev["__max_rev"])
         .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
 
@@ -1382,7 +1397,7 @@ WITH rev AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
@@ -1411,14 +1426,14 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("profit_year"))
-        .agg(F.sum(profit).alias("profit"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
     )
 
 
 PRODUCT_PROFIT_SQL = """
 SELECT n_name, CAST(year(o_orderdate) AS INT) AS profit_year,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1587,13 +1602,13 @@ def special_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(bracket).agg(
-        F.sum(rev).alias("revenue"),
+        F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 SPECIAL_BRACKET_SQL = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
@@ -1690,7 +1705,7 @@ def props_json_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(prop_k.alias("prop_k")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(_dec("value")).alias("total_value"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
     )
 
 
@@ -1698,7 +1713,7 @@ PROPS_JSON_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1
 """
@@ -1717,13 +1732,13 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.min("spend").alias("min_spend"),
-            F.max("spend").alias("max_spend"),
-            F.sum("spend").alias("decile_spend"),
+            F.min("spend").cast("double").alias("min_spend"),
+            F.max("spend").cast("double").alias("max_spend"),
+            F.sum("spend").cast("double").alias("decile_spend"),
         )
     )
 
@@ -1733,11 +1748,11 @@ WITH spend AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
   FROM orders GROUP BY 1
 ), ranked AS (
-  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  SELECT spend, CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
   FROM spend
 )
-SELECT decile, COUNT(*) AS n_customers, MIN(spend) AS min_spend,
-       MAX(spend) AS max_spend, SUM(spend) AS decile_spend
+SELECT decile, COUNT(*) AS n_customers, CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend, CAST(SUM(spend) AS DOUBLE) AS decile_spend
 FROM ranked GROUP BY 1
 """
 

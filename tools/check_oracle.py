@@ -16,21 +16,27 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    """Type-tagged canonical form. STRICTER than the driver on purpose: a
+    Decimal and a float with equal value get different tags, so any query
+    whose Spark/DuckDB result types diverge fails here first (driver round-1
+    flagged 28 such rows as hash_match:false on formatting alone)."""
     import datetime
     import decimal
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "B:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
+            return "F:NaN"
+        return "F:" + repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        return "D:" + str(v)
+    if isinstance(v, int):
+        return "I:" + str(v)
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return str(v)
+        return "T:" + v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
@@ -88,6 +94,19 @@ def main():
             failures.append(name)
             continue
         problems = []
+        # pandas-path dtype check: a pandas/Arrow-based canonicalizer sees
+        # Spark decimals as object(Decimal) but DuckDB decimals as float64
+        # (and DuckDB HUGEINT sums as float64/object) — catch any column
+        # whose dtype KIND diverges between the two conversion paths.
+        try:
+            spd = sdf.toPandas()
+            dpd = rel.df()
+            for c in sorted(set(spd.columns) & set(dpd.columns)):
+                sk, dk = spd[c].dtype.kind, dpd[c].dtype.kind
+                if sk != dk and {sk, dk} != {"O"}:
+                    problems.append(f"pandas dtype kind mismatch {c}: spark={spd[c].dtype} duckdb={dpd[c].dtype}")
+        except Exception as e:  # pandas conversion itself failing is a finding
+            problems.append(f"pandas conversion error: {e}")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
