@@ -25,9 +25,14 @@ def salted_sum_count(
     sum_alias: str = "total",
     count_alias: str = "n",
 ) -> DataFrame:
-    """groupBy(group_cols).agg(sum, count) via salt-and-merge."""
+    """groupBy(group_cols).agg(sum, count) via salt-and-merge.
+
+    Salt comes from the whole-row hash — the same recompute-stable
+    contract ``salted_join`` documents (rand() and
+    monotonically_increasing_id are stable only per-execution; a task
+    retry would re-salt rows differently mid-aggregation)."""
     salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(*group_cols, "__salt").agg(
         F.sum(sum_col).alias("__psum"),

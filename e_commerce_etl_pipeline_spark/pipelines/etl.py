@@ -137,11 +137,18 @@ def incremental_pipeline(
             out = stamp_etl_metadata(df, pipeline.name, batch_id,
                                      pipeline.vn_naive_stamp)
             order_col = pipeline.order_col if pipeline.order_col in out.columns else "etl_updated_at"
-            n = out.count()
-            if n:
-                upsert(spark, out, f"{staging_root}/{table}", keys, order_col,
-                       [g for g in pipeline.guard_cols if g in df.columns],
-                       drop_null_key_rows=pipeline.drop_null_key_rows)
+            # One materialization per table: the count action populates the
+            # cache and the upsert's source side reads it back, instead of
+            # re-running the extract->transform lineage a second time.
+            out = out.persist()
+            try:
+                n = out.count()
+                if n:
+                    upsert(spark, out, f"{staging_root}/{table}", keys, order_col,
+                           [g for g in pipeline.guard_cols if g in df.columns],
+                           drop_null_key_rows=pipeline.drop_null_key_rows)
+            finally:
+                out.unpersist()
             counts[table] = n
         if audit:
             audit.record({

@@ -409,6 +409,10 @@ def explode_flatten_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = explode_outer_prefixed(
         nested, "items", [F.col("o_orderkey"), F.col("o_orderstatus")], item_prefix=""
     )
+    # l_quantity here is ALREADY DECIMAL(18,2): the struct above nests
+    # _dec("l_quantity"), so this trailing double cast mirrors the oracle's
+    # CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) exactly — the two
+    # paths stay symmetric even for inputs with >2 fractional digits.
     return flat.select(
         "o_orderkey", "o_orderstatus", "total_items_in_order", "has_multiple_items",
         "l_linenumber", "l_partkey", F.col("l_quantity").cast("double").alias("l_quantity"),

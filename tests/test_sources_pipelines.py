@@ -228,3 +228,31 @@ def test_incremental_replay_noop(spark, tmp_path):
     tbl = read_upsert_table(spark, f"{staging}/tiktok_shop_order_detail")
     assert tbl.count() == 2
     assert tbl.filter(F.col("order_id").isNull()).count() == 0
+
+
+def test_incremental_single_materialization(spark, tmp_path):
+    """The r2 verdict flagged count()-then-upsert re-running the whole
+    extract->transform lineage per table. The batch is now persisted, so
+    the source lineage materializes exactly once: the accumulator in the
+    extract's RDD map sees each row once, not twice."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def extract(spark_, window=None):
+        def bump(x):
+            acc.add(1)
+            return x
+
+        rdd = spark_.sparkContext.parallelize(
+            [(f"o{i}", i, 100 + i) for i in range(20)], 2
+        ).map(bump)
+        return spark_.createDataFrame(
+            rdd, "order_id string, update_time long, amount long"
+        )
+
+    pipe = SourcePipeline(
+        name="acc_src", extract=extract, transform=lambda df: df,
+        keys=["order_id"], order_col="update_time",
+    )
+    staging = str(tmp_path / "staging")
+    incremental_pipeline(spark, pipe, staging, window=(0, 10))
+    assert acc.value == 20

@@ -52,19 +52,27 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
+
+def run_checks(sf_dir, only=(), spark=None, out=print):
+    """Compare every registry query against its DuckDB oracle at ``sf_dir``.
+
+    Returns the list of failing query names. Used by the CLI below AND by
+    tests/test_full_registry_oracle.py — the CI guard that keeps queries
+    outside the driver's graded window oracle-verified every run.
+    """
     import duckdb
 
     import __spark_entry__ as entrymod
     from e_commerce_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    only = set(only)
+    if spark is None:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
@@ -79,18 +87,18 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            out(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            out(f"SKIP {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
             drows = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            out(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
@@ -103,7 +111,10 @@ def main():
             dpd = rel.df()
             for c in sorted(set(spd.columns) & set(dpd.columns)):
                 sk, dk = spd[c].dtype.kind, dpd[c].dtype.kind
-                if sk != dk and {sk, dk} != {"O"}:
+                # every kind divergence is a finding (the old extra clause
+                # `{sk, dk} != {"O"}` was vacuous: only reached when sk != dk,
+                # where the set always has two elements)
+                if sk != dk:
                     problems.append(f"pandas dtype kind mismatch {c}: spark={spd[c].dtype} duckdb={dpd[c].dtype}")
         except Exception as e:  # pandas conversion itself failing is a finding
             problems.append(f"pandas conversion error: {e}")
@@ -126,13 +137,19 @@ def main():
                         problems.append(f"  duckdb: {b[:200]}")
                         break
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            out(f"FAIL {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
-                print(p)
+                out(p)
             failures.append(name)
         else:
-            print(f"OK   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+            out(f"OK   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    out(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures = run_checks(sf_dir, only=sys.argv[2:])
     sys.exit(1 if failures else 0)
 
 
