@@ -1724,19 +1724,69 @@ GROUP BY 1
 
 
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile segmentation of customers by lifetime spend (ntile ranking
-    window -> per-decile stats). The global ntile sorts only the
-    per-customer aggregate — ~4 orders of magnitude smaller than the
-    fact table — so the single-partition ranking window is safe; at
-    larger dimension cardinalities swap in approx-quantile boundaries +
-    a bucket join. Ties broken by custkey so both engines agree."""
+    """Decile segmentation of customers by lifetime spend, WITHOUT a
+    global ranking window (a global ntile moves every row to one
+    partition — a straggler at 10^9 customers; Spark warns "No Partition
+    Defined for Window"). Scalable exact-rank plan:
+
+    1. approx-quantile boundaries coarse-bucket the spend distribution
+       (boundaries only balance work — exactness never depends on them);
+    2. rows rank inside their coarse bucket (Window PARTITIONED by
+       bucket — parallel, no single-partition exchange);
+    3. per-bucket counts (<= 10 rows, collected as planning metadata)
+       become rank offsets: global_rank = bucket_offset + local_rank.
+       Equal spends share a bucket (bucket is a function of spend), and
+       custkey breaks ties inside, so the global rank is exact;
+    4. NTILE(10) is derived arithmetically from the exact rank —
+       identical output to the oracle's NTILE window, different plan.
+    """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
+    ).persist()
+    n = spend.count()
+    if n == 0:
+        return spend.select(
+            F.lit(0).cast("long").alias("decile"),
+            F.lit(0).cast("long").alias("n_customers"),
+            F.lit(0.0).alias("min_spend"), F.lit(0.0).alias("max_spend"),
+            F.lit(0.0).alias("decile_spend"),
+        ).limit(0)
+
+    # coarse range buckets from approximate deciles of spend (desc order:
+    # bucket 0 holds the top spenders). Duplicate boundaries collapse.
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = sorted(set(
+        spend.select(F.col("spend").cast("double").alias("s"))
+        .approxQuantile("s", probs, 0.001)
+    ))
+    bucket = F.lit(len(bounds))  # below every boundary
+    for i, b in enumerate(sorted(bounds, reverse=True)):
+        bucket = F.when(F.col("spend").cast("double") >= F.lit(b), F.lit(i)).otherwise(bucket)
+    bucketed = spend.withColumn("__cb", bucket)
+
+    counts = {r["__cb"]: r["cnt"] for r in
+              bucketed.groupBy("__cb").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for cb in sorted(counts):
+        offsets[cb] = acc
+        acc += counts[cb]
+    offset_col = F.lit(0)
+    for cb, off in offsets.items():
+        offset_col = F.when(F.col("__cb") == cb, F.lit(off)).otherwise(offset_col)
+
+    w = Window.partitionBy("__cb").orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    ranked = bucketed.withColumn(
+        "__rank", (offset_col + F.row_number().over(w)).cast("long")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    # NTILE(10) from the exact rank: first r tiles take q+1 rows, rest q.
+    q, r = divmod(n, 10)
+    big = r * (q + 1)
+    decile = F.when(
+        F.col("__rank") <= big, F.ceil(F.col("__rank") / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((F.col("__rank") - big) / F.lit(max(q, 1))))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn("decile", decile.cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

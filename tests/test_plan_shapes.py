@@ -55,6 +55,19 @@ def test_q1_filter_pushed_to_scan(spark, sf_dir):
     assert "l_shipdate" in scan
 
 
+def test_decile_plan_has_no_global_window(spark, sf_dir):
+    """customer_spend_deciles must rank inside coarse buckets — a global
+    ntile window would move every customer to one partition (straggler at
+    10^9 customers). Every WindowExec must be partitioned by the coarse
+    bucket, and no ntile may appear (the decile is derived from the exact
+    rank arithmetically)."""
+    plan = _plan(spark, sf_dir, "customer_spend_deciles")
+    assert "ntile" not in plan.lower()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected a partitioned ranking window"
+    assert all("__cb" in l for l in win_lines), win_lines
+
+
 def test_range_join_is_equi_on_bucket(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_pairs_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
