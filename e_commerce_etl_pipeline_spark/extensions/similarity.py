@@ -4,19 +4,30 @@ Two paths, per the large-corpus playbook:
 - brute-force cosine top-k (the exactness baseline): query-set × corpus
   join, fold-based dot product, window top-k. O(Q×N) — fine for a bounded
   query set; the corpus side never collects.
-- sign-LSH bucketed top-k (the scale path): 4-bit bucket from the signs
-  of the first 4 dimensions; candidates only join within their bucket —
-  at 100 TB the bucket count grows (more sign bits / IVF centroids) and
-  the join stays shuffle-bounded per bucket.
+- bucketed ANN (the scale paths): sign-LSH tables and IVF cells whose
+  granularity is CORPUS-SIZE-DRIVEN, not fixed: LSH bit-width grows with
+  log2(n) so mean bucket occupancy stays ≤ TARGET_BUCKET_OCC, and the
+  IVF cell count grows linearly so mean cell occupancy stays ≤
+  TARGET_CELL_OCC. IVF centroids come from sampled k-means (hash-ranked
+  seed sample + one exact Lloyd iteration), not from fixed row ids.
 
-Float determinism: elements are cast float->double (exact widening) and
-folded strictly left-to-right (F.aggregate over the array; the SQL oracle
-is a generated 64-term left-associated sum) — identical IEEE arithmetic
-in both engines, so ranks match exactly. Output exposes ids + rank, with
-cosine rounded via double ops only.
+Cross-engine determinism (every query here is DuckDB-oracle-checked):
+- granularity formulas are integer-only (threshold chains / integer
+  ceil-div), evaluated from n in Python on the Spark side and from a
+  COUNT(*) CTE in the generated oracle SQL — no float log whose last
+  ulp could differ between engines;
+- k-means seeds are ranked by md5 of the vec id (same hex in both
+  engines); centroid means are computed from scaled-integer sums
+  (floor(x·1e7) summed as BIGINT), so the division result is the same
+  double everywhere;
+- dot products fold strictly left-to-right (F.aggregate / generated
+  left-associated SQL sums) — identical IEEE arithmetic, so ranks and
+  tie-breaks match exactly.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -26,6 +37,53 @@ from ..plans.queries import load_table
 DIM = 64
 N_QUERIES = 50  # vec_id < 50 are the query vectors
 TOP_K = 10
+
+# ---- corpus-size-driven granularity --------------------------------------
+# LSH: per-table sign bits; each of the N_TABLES tables reads a DISJOINT
+# 16-dim group (4 × 16 = 64), so bits can grow to 16 before the axis-
+# aligned family runs out of dimensions (past that: random_hyperplane_
+# bucket below, which is dimension-unbounded).
+N_TABLES = 4
+DIMS_PER_TABLE = 16
+MIN_BITS, MAX_BITS = 4, 16
+TARGET_BUCKET_OCC = 32  # target MEAN vectors per bucket per table
+
+# IVF: cells scale linearly with the corpus.
+MIN_CELLS, MAX_CELLS = 8, 1024
+TARGET_CELL_OCC = 64
+N_PROBE = 2  # query-side multi-probe: search the 2 nearest cells
+
+
+def lsh_bits(n: int) -> int:
+    """Smallest b in [MIN_BITS, MAX_BITS] with n <= TARGET_BUCKET_OCC·2^b
+    (i.e. mean occupancy ≤ TARGET while the dim budget lasts).
+    Integer-only so the SQL CASE chain in _bits_sql matches exactly."""
+    for b in range(MIN_BITS, MAX_BITS):
+        if n <= TARGET_BUCKET_OCC * (1 << b):
+            return b
+    return MAX_BITS
+
+
+def ivf_cells(n: int) -> int:
+    """ceil(n / TARGET_CELL_OCC), clamped to [MIN_CELLS, MAX_CELLS]."""
+    return max(MIN_CELLS, min(MAX_CELLS, (n + TARGET_CELL_OCC - 1) // TARGET_CELL_OCC))
+
+
+def _bits_sql(n_expr: str = "n") -> str:
+    """SQL mirror of lsh_bits as an integer threshold chain."""
+    arms = "".join(
+        f" WHEN {n_expr} <= {TARGET_BUCKET_OCC * (1 << b)} THEN {b}"
+        for b in range(MIN_BITS, MAX_BITS)
+    )
+    return f"(CASE{arms} ELSE {MAX_BITS} END)"
+
+
+def _cells_sql(n_expr: str = "n") -> str:
+    """SQL mirror of ivf_cells (integer ceil-div, then clamp)."""
+    return (
+        f"GREATEST({MIN_CELLS}, LEAST({MAX_CELLS}, "
+        f"CAST(({n_expr} + {TARGET_CELL_OCC - 1}) // {TARGET_CELL_OCC} AS INT)))"
+    )
 
 
 def _as_double(arr: Column) -> Column:
@@ -66,10 +124,14 @@ def with_norm(df, vcol: str = "v"):
     return df.withColumn("norm", l2_norm(F.col(vcol)))
 
 
-def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_norm(load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -119,45 +181,83 @@ SELECT qid, rank, neighbor_id FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-N_TABLES = 4  # L hash tables; table t buckets on signs of dims 4t+1..4t+4
-
-
-def sign_bucket(v: Column, table: int = 0) -> Column:
-    """4-bit LSH bucket from the signs of dims 4·table+1..4·table+4
-    (random-hyperplane LSH with axis-aligned planes — deterministic and
-    oracle-able; each table reads a disjoint dimension group)."""
-    base = 4 * table
-    bits = [
+def sign_bucket(v: Column, table: int = 0, bits: int = MIN_BITS) -> Column:
+    """``bits``-bit LSH bucket from the signs of the table's dimension
+    group (dims DIMS_PER_TABLE·table+1 .. +bits — random-hyperplane LSH
+    with axis-aligned planes: deterministic and oracle-able; each table
+    reads a disjoint group). ``bits`` comes from lsh_bits(corpus size)."""
+    base = DIMS_PER_TABLE * table
+    bit_cols = [
         F.when(F.element_at(v, base + i) >= 0, F.lit(1)).otherwise(F.lit(0))
         * (1 << (i - 1))
-        for i in range(1, 5)
+        for i in range(1, bits + 1)
     ]
-    out = bits[0]
-    for b in bits[1:]:
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
         out = out + b
     return out
 
 
-def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table sign-LSH: N_TABLES independent 4-bit tables;
-    a candidate pair needs to collide in ANY table (union → distinct),
-    then exact cosine ranks the top-3. One table alone misses most true
-    neighbors (P(collide) = 2^-4 per table for unrelated dims); the union
-    over L tables drives recall up at L× candidate cost — the standard
-    (k, L) LSH tradeoff, measured by ann_recall_eval.
+def _bucket_sql(table: int, elem: str = "embedding", bits_expr: str = "bits") -> str:
+    """SQL mirror of sign_bucket with runtime bit-width: the full 16-bit
+    bucket modulo 2^bits keeps exactly the low ``bits`` sign bits —
+    identical to summing only the first ``bits`` terms."""
+    base = DIMS_PER_TABLE * table
+    full = " + ".join(
+        f"CASE WHEN {elem}[{base + i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END"
+        for i in range(1, DIMS_PER_TABLE + 1)
+    )
+    return f"(({full}) % (1 << {bits_expr}))"
 
-    Scale shape mirrors the minhash path: the candidate self-join carries
-    only (table, bucket, id) — vectors re-attach by id afterwards — so
-    the shuffle is narrow, and pairs only form inside buckets, never
-    O(n²)."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-    ))
+
+def random_hyperplane_coefs(table: int, bit: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane for sign-LSH beyond the
+    axis-aligned dim budget (bits > DIMS_PER_TABLE — the 100 TB growth
+    path): coefficients in [-1, 1) derived from md5(table:bit:d), so any
+    engine/process regenerates the identical plane. Used by
+    random_hyperplane_bucket; the oracle-checked queries stay on the
+    axis-aligned family while it suffices (n ≤ TARGET·2^MAX_BITS)."""
+    out = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.md5(f"{table}:{bit}:{d}".encode()).digest()[:8], "big"
+        )
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def random_hyperplane_bucket(v: Column, table: int, bits: int) -> Column:
+    """Unbounded-bit sign-LSH bucket: bit b = sign(g_b · v) for a
+    deterministic pseudo-random hyperplane g_b. Dimension-independent —
+    occupancy keeps halving per added bit at any corpus size."""
+    out = F.lit(0)
+    for b in range(bits):
+        coefs = F.array(*[F.lit(c) for c in random_hyperplane_coefs(table, b)])
+        proj = dot(v, coefs)
+        out = out + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table sign-LSH: N_TABLES independent tables of
+    lsh_bits(n) bits each; a candidate pair needs to collide in ANY table
+    (union → distinct), then exact cosine ranks the top-3. One table
+    alone misses most true neighbors; the union over L tables drives
+    recall up at L× candidate cost — the standard (k, L) LSH tradeoff,
+    measured by ann_recall_eval.
+
+    Scale shape: the candidate self-join carries only (table, bucket, id)
+    — vectors re-attach by id afterwards — so the shuffle is narrow, and
+    pairs only form inside buckets, never O(n²). Bucket granularity is
+    data-driven: bits grows with log2(n) (lsh_bits), keeping mean bucket
+    occupancy ≤ TARGET_BUCKET_OCC, so per-bucket pair counts stay bounded
+    as the corpus doubles (tests/test_similarity_scaling.py)."""
+    emb = _emb(spark, sf_dir)
+    bits = lsh_bits(emb.count())
     banded = emb.select(
         "vec_id",
         F.posexplode(
-            F.array(*[sign_bucket(F.col("v"), t) for t in range(N_TABLES)])
+            F.array(*[sign_bucket(F.col("v"), t, bits) for t in range(N_TABLES)])
         ).alias("tbl", "bucket"),
     )
     qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
@@ -184,23 +284,18 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(table: int) -> str:
-    base = 4 * table
-    return (
-        "(" + " + ".join(
-            f"CASE WHEN embedding[{base + i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END"
-            for i in range(1, 5)
-        ) + ")"
-    )
-
+_PARAMS_SQL = f"""params AS (
+  SELECT {_bits_sql('n')} AS bits, {_cells_sql('n')} AS k
+  FROM (SELECT COUNT(*) AS n FROM embeddings)
+)"""
 
 _BANDED_SQL = "\n  UNION ALL\n".join(
-    f"  SELECT vec_id, {t} AS tbl, {_bucket_sql(t)} AS bucket FROM embeddings"
+    f"  SELECT vec_id, {t} AS tbl, {_bucket_sql(t)} AS bucket FROM embeddings, params"
     for t in range(N_TABLES)
 )
 
 LSH_BUCKETED_TOPK_SQL = f"""
-WITH b AS (
+WITH {_PARAMS_SQL}, b AS (
 {_BANDED_SQL}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS qid, c.vec_id AS neighbor_id
@@ -246,20 +341,22 @@ FROM embeddings GROUP BY label
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: the corpus is
     embeddings ∪ slightly-perturbed copies (every element +1e-4, vec_id +
-    1_000_000 — deterministic), candidate pairs restricted to the sign-LSH
-    bucket (the scale path — perturbed twins share the bucket unless an
-    element sits within 1e-4 of zero, which the threshold filter absorbs),
-    verified by cosine >= 0.999."""
+    1_000_000 — deterministic), candidate pairs restricted to the table-0
+    sign-LSH bucket at lsh_bits(n) granularity (the scale path — a
+    perturbed twin shares the bucket unless an element sits within 1e-4
+    of zero; the oracle computes the identical bucket, so parity holds
+    either way), verified by cosine >= 0.999."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    bits = lsh_bits(emb.count())  # granularity from the base corpus size
     perturbed = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("v"), lambda x: x + F.lit(1e-4)).alias("v"),
     )
     corpus = with_norm(
         emb.unionByName(perturbed)
-    ).withColumn("bucket", sign_bucket(F.col("v")))
+    ).withColumn("bucket", sign_bucket(F.col("v"), 0, bits))
     a = corpus.alias("a")
     b = corpus.alias("b")
     pairs = a.join(
@@ -276,17 +373,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH corpus AS (
+WITH {_PARAMS_SQL}, corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.0001) FROM embeddings
 ), b AS (
-  SELECT vec_id, v,
-         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
-          + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-          + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
-          + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-  FROM corpus
+  SELECT vec_id, v, {_bucket_sql(0, elem="v", bits_expr="params.bits")} AS bucket
+  FROM corpus, params
 ), dotted AS (
   SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
          {" + ".join(f"a.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))} AS dot,
@@ -298,34 +391,76 @@ SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
 """
 
 
-N_CELLS = 8  # IVF cells; centroids = vectors with vec_id 0..7 (deterministic)
+# ---- IVF with sampled k-means centroids ----------------------------------
+
+_SCALE = 10_000_000  # centroid means via exact scaled-integer sums
 
 
-N_PROBE = 2  # query-side multi-probe: search the 2 nearest cells
+def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """Sampled k-means (seeds = top-k by md5 hash rank — a deterministic
+    distributed sample via TakeOrdered, no global window — followed by
+    one exact Lloyd iteration). Returns (cell, cv, cnorm).
+
+    Exactness contract: new centroid components are
+    CAST(Σ floor(v_i·1e7) AS DOUBLE) / CAST(count·1e7 AS DOUBLE) — the
+    sums are exact BIGINTs, so the oracle reproduces the identical
+    doubles. Cell ids are the seed vec_ids."""
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+                F.col("norm").alias("cnorm"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    assigned0 = (
+        emb.join(F.broadcast(seeds))
+        .select(
+            "vec_id", "v", "cell",
+            (dot(F.col("v"), F.col("cv"))
+             / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+        )
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+    )
+    sums = [
+        F.sum(F.floor(F.element_at("v", i) * F.lit(_SCALE)).cast("long")).alias(f"s{i}")
+        for i in range(1, DIM + 1)
+    ]
+    cents = assigned0.groupBy("cell").agg(F.count(F.lit(1)).alias("nc"), *sums)
+    means = [
+        (F.col(f"s{i}").cast("double")
+         / (F.col("nc") * F.lit(_SCALE)).cast("double"))
+        for i in range(1, DIM + 1)
+    ]
+    out = cents.select("cell", F.array(*means).alias("cv"))
+    return out.withColumn("cnorm", l2_norm(F.col("cv")))
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization to the nearest of 8 fixed
-    centroids (deterministically the first 8 vectors — a production build
-    would train k-means on a sample; fixed centroids keep the oracle
-    exact), then top-3 cosine within the query's N_PROBE nearest cells.
+    """IVF-style ANN: coarse quantization to the nearest of
+    ivf_cells(n) k-means centroids (sampled seeds + one exact Lloyd
+    iteration — data-driven granularity AND data-driven centroid
+    placement), then top-3 cosine within the query's N_PROBE nearest
+    cells.
 
     Multi-probe is THE recall lever of IVF (a vector near a cell border
     loses its true neighbors to the adjacent cell; probing 2 cells
     recovers them — measured by ann_recall_eval). Corpus vectors stay
     single-cell; only the tiny query set fans out ×N_PROBE.
 
-    Scale shape: the assignment is a broadcast nested-loop over 8
-    centroids (a map stage); the search join shuffles on cell id only —
-    per-cell candidate sets, never O(n²)."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ))
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    # nearest centroid by cosine; total order (csim desc, cell) for ties
+    Scale shape: seed selection is a distributed TakeOrdered (no global
+    window); assignment is a broadcast join over ≤ MAX_CELLS centroids (a
+    map stage); the search join shuffles on cell id only — per-cell
+    candidate sets whose mean size stays ≤ TARGET_CELL_OCC as the corpus
+    grows, never O(n²)."""
+    emb = _emb(spark, sf_dir)
+    k = ivf_cells(emb.count())
+    # k rows (≤ MAX_CELLS) — persist so the sampled k-means (seed rank +
+    # Lloyd pass over the corpus) runs once, not once per plan branch
+    # referencing the assignment below. In production the assignment
+    # itself is a materialized index; here it stays inline so the query
+    # remains a pure function of the input tables.
+    cents = _kmeans_centroids(emb, k).persist()
     wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
     ranked = (
         emb.join(F.broadcast(cents))
@@ -364,20 +499,51 @@ def _list_norm_sql(a: str) -> str:
     return "sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(1, DIM + 1)) + ")"
 
 
+def _mdot_sql(vec: str, c: str) -> str:
+    """dot(list vector, centroid m1..m64 columns), left-associated."""
+    return "(" + " + ".join(f"{vec}[{i}] * {c}.m{i}" for i in range(1, DIM + 1)) + ")"
+
+
+def _mnorm_sql(c: str) -> str:
+    return "sqrt(" + " + ".join(f"{c}.m{i} * {c}.m{i}" for i in range(1, DIM + 1)) + ")"
+
+
+_SCALED_SUMS_SQL = ",\n         ".join(
+    f"SUM(CAST(FLOOR(v[{i}] * {_SCALE}) AS BIGINT)) AS s{i}" for i in range(1, DIM + 1)
+)
+_MEANS_SQL = ",\n         ".join(
+    f"CAST(s{i} AS DOUBLE) / CAST(nc * {_SCALE} AS DOUBLE) AS m{i}"
+    for i in range(1, DIM + 1)
+)
+
 IVF_TOPK_SQL = f"""
-WITH v AS (
+WITH {_PARAMS_SQL}, v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), cents AS (
-  SELECT vec_id AS cell, v AS cv FROM v WHERE vec_id < {N_CELLS}
-), assigned0 AS (
-  SELECT vec_id, v, cell,
+), seeds AS (
+  SELECT vec_id AS cell, v FROM v, params
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= params.k
+), a0 AS (
+  SELECT v.vec_id, v.v AS v, cell,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
-           {_list_dot_sql('v', 'cv')} / ({_list_norm_sql('v')} * {_list_norm_sql('cv')}) DESC, cell) AS rn
-  FROM v CROSS JOIN cents
+           {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}) DESC, cell) AS rn
+  FROM v CROSS JOIN seeds s
+), csums AS (
+  SELECT cell, COUNT(*) AS nc,
+         {_SCALED_SUMS_SQL}
+  FROM a0 WHERE rn = 1 GROUP BY cell
+), cm AS (
+  SELECT cell,
+         {_MEANS_SQL}
+  FROM csums
+), a1 AS (
+  SELECT v.vec_id, v.v, cm.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}) DESC, cm.cell) AS rn
+  FROM v CROSS JOIN cm
 ), assigned AS (
-  SELECT vec_id, v, cell FROM assigned0 WHERE rn = 1
+  SELECT vec_id, v, cell FROM a1 WHERE rn = 1
 ), q AS (
-  SELECT vec_id AS qid, v AS qv, cell FROM assigned0
+  SELECT vec_id AS qid, v AS qv, cell FROM a1
   WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
 ), scored AS (
   SELECT q.qid, q.cell, a.vec_id AS neighbor_id,
@@ -395,9 +561,9 @@ SELECT qid, cell, rank, neighbor_id FROM ranked WHERE rank <= 3
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of each approximate ANN path (sign-LSH buckets, IVF
     cells) against the brute-force exact top-3 — the quality side of the
-    quality/cost tradeoff, measured inside the engine. At corpus scale
-    this same query runs over a sampled query set and becomes the
-    recall-regression gate for retuning bucket bits / cell counts."""
+    quality/cost tradeoff, measured inside the engine. This is the
+    recall-regression gate for the data-driven granularity: retuning
+    lsh_bits / ivf_cells constants must keep this green."""
     exact3 = (
         brute_force_topk(spark, sf_dir)
         .filter(F.col("rank") <= 3)
