@@ -34,23 +34,54 @@ AUDIT_SCHEMA = T.StructType([
     T.StructField("started_at", T.DoubleType()),
     T.StructField("finished_at", T.DoubleType()),
     T.StructField("error", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("over_budget", T.BooleanType()),
 ])
 
 
 @dataclass
 class RunAudit:
+    """etl_control.batch_runs parity (ST5) plus the reference's
+    operational policy analog (config/production.py:24,38,40 — 12-minute
+    execution budget, >20% error-rate alert): every recorded run is
+    stamped with its duration and an over-budget mark, and ``alerts()``
+    surfaces the sources breaching either threshold so an orchestrator
+    can page exactly like the reference's Airflow SLA/alert hooks."""
+
     spark: SparkSession
     path: str
+    budget_s: float = 720.0          # reference: 12-min execution timeout
+    alert_failure_rate: float = 0.2  # reference: >20% error-rate alert
 
     def record(self, row: dict) -> None:
         base = {f.name: None for f in AUDIT_SCHEMA.fields}
         base.update(row)
+        if base["started_at"] is not None and base["finished_at"] is not None:
+            base["duration_s"] = float(base["finished_at"] - base["started_at"])
+            base["over_budget"] = base["duration_s"] > self.budget_s
         df = self.spark.createDataFrame([tuple(base[f.name] for f in AUDIT_SCHEMA.fields)],
                                         AUDIT_SCHEMA)
         df.write.mode("append").parquet(self.path)
 
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def alerts(self) -> DataFrame:
+        """Per-source health: failure rate vs the alert threshold and
+        budget breaches. ``alert = true`` rows are the page-worthy ones."""
+        agg = self.runs().groupBy("source_name").agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)).alias("n_failed"),
+            F.sum(F.when(F.col("over_budget"), 1).otherwise(0)).alias("n_over_budget"),
+            F.max("duration_s").alias("max_duration_s"),
+        )
+        rate = F.col("n_failed") / F.col("n_runs")
+        return agg.select(
+            "*",
+            rate.alias("failure_rate"),
+            ((rate > self.alert_failure_rate) | (F.col("n_over_budget") > 0)
+             ).alias("alert"),
+        )
 
 
 @dataclass

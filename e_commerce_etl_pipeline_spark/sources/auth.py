@@ -47,7 +47,11 @@ def jwt_expiry(token: str) -> int | None:
 @dataclass
 class TokenCache:
     """Refresh-on-expiry token cache with injected refresh + persist hooks
-    (at-rest storage = a small keyed-upsert table, one row per platform)."""
+    (at-rest storage = a small keyed-upsert table, one row per platform —
+    see TokenStore). Seed ``_state`` from ``TokenStore.load`` to reuse a
+    still-valid persisted token across process restarts, exactly like the
+    reference loads from api_token_storage before refreshing
+    (src/utils/auth.py:253-302)."""
 
     refresh_fn: Callable[[], dict]  # -> {"access_token": ..., "expires_at": epoch}
     persist_fn: Callable[[dict], None] | None = None
@@ -65,3 +69,51 @@ class TokenCache:
     def invalidate(self) -> None:
         """Called by the 401-retry path (PaginatedApiSource.on_auth_error)."""
         self._state = {}
+
+
+class TokenStore:
+    """At-rest token persistence (S11 parity: the reference maintains
+    etl_control.api_token_storage via T-SQL MERGE keyed by platform,
+    src/utils/auth.py:253-302, refreshed tokens never regressing newer
+    ones) — implemented over the engine's own guarded keyed-upsert
+    writer: one row per platform, ordered by ``refreshed_at``, so a
+    replayed or out-of-order persist is a no-op (ST3 semantics for the
+    control plane too)."""
+
+    SCHEMA = ("platform string, access_token string, refresh_token string, "
+              "expires_at long, refreshed_at long")
+    _FIELDS = ("access_token", "refresh_token", "expires_at", "refreshed_at")
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def persist(self, platform: str, state: dict) -> None:
+        from ..operators.upsert import upsert
+
+        row = (platform,
+               state.get("access_token"),
+               state.get("refresh_token"),
+               state.get("expires_at"),
+               state.get("refreshed_at", int(time.time())))
+        df = self.spark.createDataFrame([row], self.SCHEMA)
+        upsert(self.spark, df, self.path, keys=["platform"],
+               order_col="refreshed_at", num_buckets=1)
+
+    def load(self, platform: str) -> dict | None:
+        import os
+
+        from ..operators.upsert import read_upsert_table
+
+        if not os.path.exists(self.path):
+            return None
+        rows = (read_upsert_table(self.spark, self.path)
+                .filter(f"platform = '{platform}'").collect())
+        if not rows:
+            return None
+        r = rows[0].asDict()
+        return {k: r[k] for k in self._FIELDS if r.get(k) is not None}
+
+    def persist_fn(self, platform: str) -> Callable[[dict], None]:
+        """Adapter for ``TokenCache(persist_fn=...)``."""
+        return lambda state: self.persist(platform, state)

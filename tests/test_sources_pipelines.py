@@ -256,3 +256,24 @@ def test_incremental_single_materialization(spark, tmp_path):
     staging = str(tmp_path / "staging")
     incremental_pipeline(spark, pipe, staging, window=(0, 10))
     assert acc.value == 20
+
+
+def test_jsonl_landing_end_to_end(spark):
+    """S7-scale landing protocol: batches -> land_jsonl -> declared-schema
+    read -> flatten/aggregate. Itemless orders (every 4th) must survive
+    the array kernels as zero-item rows, not vanish."""
+    from e_commerce_etl_pipeline_spark.sources.landing import (
+        N_ORDERS,
+        ensure_landed,
+        jsonl_landing_stats,
+    )
+
+    path = ensure_landed()
+    with open(path) as f:
+        assert sum(1 for _ in f) == N_ORDERS
+    rows = {r.status: r for r in jsonl_landing_stats(spark, "unused").collect()}
+    assert sum(r.n_orders for r in rows.values()) == N_ORDERS
+    # i%4==0 orders are itemless and all carry status CREATED (i%4 cycle)
+    assert rows["CREATED"].itemless_orders == N_ORDERS // 4
+    assert all(r.itemless_orders == 0 for s, r in rows.items() if s != "CREATED")
+    assert rows["SHIPPED"].total_items == rows["SHIPPED"].n_orders  # i%4==1 -> 1 item
