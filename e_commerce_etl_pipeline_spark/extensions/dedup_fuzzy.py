@@ -275,11 +275,24 @@ WHERE CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
 """
 
 
+MAX_PROFILE_DOCS = 200  # hard fence — see docstring
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard within lang buckets (bounded pair space) —
-    the exact-verification complement to LSH, and a similarity profile of
-    the corpus (any shared-shingle pair)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    """Exact 3-gram Jaccard similarity PROFILE within lang buckets.
+
+    FENCED DIAGNOSTIC, not a corpus operator: it reports every pair with
+    ANY shared shingle (jaccard3 > 0), and an any-overlap profile is
+    irreducibly ~quadratic — no bucketing scheme can enumerate all
+    >0-overlap pairs without examining them. The MAX_PROFILE_DOCS fence
+    keeps the pair space bounded (sample-profile shape: point it at a
+    stratified sample, never a full corpus). The corpus-scale exact-
+    verification path is ``minhash_lsh_pairs``: shared-band candidate
+    gating + exact Jaccard >= threshold on candidates only, cost
+    per-bucket, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MAX_PROFILE_DOCS
+    )
     shingled = docs.select("doc_id", "lang", shingle_set(F.col("text")).alias("shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -130,6 +130,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_N_CACHE: dict[str, int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size as a PLANNING statistic (feeds lsh_bits/ivf_cells).
+    Memoized per table path for the session — the same role as Spark's
+    own catalog statistics cache; ann_recall_eval would otherwise count
+    the identical immutable table three times per invocation."""
+    n = _N_CACHE.get(sf_dir)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _N_CACHE[sf_dir] = n
+    return n
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -253,7 +268,7 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy ≤ TARGET_BUCKET_OCC, so per-bucket pair counts stay bounded
     as the corpus doubles (tests/test_similarity_scaling.py)."""
     emb = _emb(spark, sf_dir)
-    bits = lsh_bits(emb.count())
+    bits = lsh_bits(corpus_count(spark, sf_dir))
     banded = emb.select(
         "vec_id",
         F.posexplode(
@@ -349,7 +364,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    bits = lsh_bits(emb.count())  # granularity from the base corpus size
+    bits = lsh_bits(corpus_count(spark, sf_dir))  # granularity from base corpus size
     perturbed = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("v"), lambda x: x + F.lit(1e-4)).alias("v"),
@@ -396,6 +411,27 @@ SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
 _SCALE = 10_000_000  # centroid means via exact scaled-integer sums
 
 
+def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a max_by HASH AGGREGATE, not a
+    vec_id-partitioned ranking window: the broadcast join still computes
+    n×K similarities (inherent to coarse quantization), but partial
+    aggregation collapses them to n rows MAP-SIDE, so the shuffle
+    carries n rows — a window would shuffle all n×K. Tie-break matches
+    the oracle's (csim DESC, cell ASC): max_by on struct(csim, -cell).
+    Returns (vec_id, v, norm, cell)."""
+    joined = emb.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cell",
+        (dot(F.col("v"), F.col("cv"))
+         / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+    )
+    return joined.groupBy("vec_id").agg(
+        F.first("v").alias("v"),        # constant per vec_id
+        F.first("norm").alias("norm"),
+        F.max_by(F.col("cell"),
+                 F.struct(F.col("csim"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    )
+
+
 def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
     """Sampled k-means (seeds = top-k by md5 hash rank — a deterministic
     distributed sample via TakeOrdered, no global window — followed by
@@ -411,17 +447,7 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
         .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
                 F.col("norm").alias("cnorm"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-    assigned0 = (
-        emb.join(F.broadcast(seeds))
-        .select(
-            "vec_id", "v", "cell",
-            (dot(F.col("v"), F.col("cv"))
-             / (F.col("norm") * F.col("cnorm"))).alias("csim"),
-        )
-        .withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-    )
+    assigned0 = _assign_nearest(emb, seeds)
     sums = [
         F.sum(F.floor(F.element_at("v", i) * F.lit(_SCALE)).cast("long")).alias(f"s{i}")
         for i in range(1, DIM + 1)
@@ -454,29 +480,33 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets whose mean size stays ≤ TARGET_CELL_OCC as the corpus
     grows, never O(n²)."""
     emb = _emb(spark, sf_dir)
-    k = ivf_cells(emb.count())
+    k = ivf_cells(corpus_count(spark, sf_dir))
     # k rows (≤ MAX_CELLS) — persist so the sampled k-means (seed rank +
     # Lloyd pass over the corpus) runs once, not once per plan branch
     # referencing the assignment below. In production the assignment
     # itself is a materialized index; here it stays inline so the query
     # remains a pure function of the input tables.
     cents = _kmeans_centroids(emb, k).persist()
+    # full-corpus assignment: max_by hash aggregate (n-row shuffle after
+    # map-side partials), not an n×K ranking window — see _assign_nearest
+    assigned = _assign_nearest(emb, cents)
+    # query-side multi-probe fan-out: the ranking window only ever sees
+    # N_QUERIES×K rows (the bounded query set), never the corpus
     wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-    ranked = (
-        emb.join(F.broadcast(cents))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
         .select(
             "vec_id", "v", "cell", "norm",
             (dot(F.col("v"), F.col("cv"))
              / (F.col("norm") * F.col("cnorm"))).alias("csim"),
         )
         .withColumn("__rn", F.row_number().over(wa))
-    )
-    assigned = ranked.filter(F.col("__rn") == 1).select("vec_id", "v", "cell", "norm")
-    q = ranked.filter(
-        (F.col("__rn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell",
-        F.col("norm").alias("qnorm"),
+        .filter(F.col("__rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell",
+            F.col("norm").alias("qnorm"),
+        )
     )
     cand = q.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
     scored = cand.select(

@@ -68,6 +68,17 @@ def test_decile_plan_has_no_global_window(spark, sf_dir):
     assert all("__cb" in l for l in win_lines), win_lines
 
 
+def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
+    """IVF coarse assignment must be the max_by hash aggregate (map-side
+    partials collapse n×K similarity rows to n before the shuffle), not
+    an n×K ranking window. The only ranking windows left are the bounded
+    query-side fan-out and the final per-query top-k."""
+    plan = _plan(spark, sf_dir, "ivf_topk")
+    assert "max_by" in plan
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) <= 2, win_lines
+
+
 def test_range_join_is_equi_on_bucket(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_pairs_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
