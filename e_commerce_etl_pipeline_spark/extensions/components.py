@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.queries import load_table
+
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """``edges``: (src, dst) undirected. Returns (node, component) with
@@ -110,6 +112,60 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution policy: instead of keeping the min-id doc, keep
+    the HIGHEST-QUALITY member of each near-dup cluster (tie: lowest
+    doc_id) — the selection step a real curation pipeline runs after
+    clustering. One row per cluster: keeper, size, keeper's quality.
+    Scale shape: clusters join quality scores by doc_id (narrow), then a
+    max_by hash aggregate per component — map-side partials, no ranking
+    window over the corpus."""
+    from .dedup_fuzzy import _mutated_corpus
+    from .text import quality_score
+
+    # quality over the SAME corpus the pair graph was built on
+    # (documents ∪ planted near-dup mutations)
+    docs = _mutated_corpus(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    members = dedup_clusters(spark, sf_dir).join(docs, "doc_id")
+    return members.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("q"), (-F.col("doc_id")).alias("nid")),
+        ).alias("best_doc_id"),
+        F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid")))["q"].alias("best_quality"),
+    )
+
+
+def _dedup_canonical_best_sql() -> str:
+    from .curation import _quality_sql_expr
+
+    return f"""
+WITH clusters AS ({_dedup_clusters_sql().strip()}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzznearduptoken' FROM documents
+), q AS (
+  SELECT doc_id, {_quality_sql_expr()} AS q FROM corpus
+), m AS (
+  SELECT c.canonical_doc_id, c.doc_id, q.q FROM clusters c JOIN q ON c.doc_id = q.doc_id
+), sizes AS (
+  SELECT canonical_doc_id, COUNT(*) AS cluster_size FROM m GROUP BY 1
+), best AS (
+  SELECT canonical_doc_id, doc_id AS best_doc_id, q AS best_quality,
+         ROW_NUMBER() OVER (PARTITION BY canonical_doc_id
+                            ORDER BY q DESC, doc_id) AS rn
+  FROM m
+)
+SELECT s.canonical_doc_id, s.cluster_size, b.best_doc_id, b.best_quality
+FROM sizes s JOIN best b ON s.canonical_doc_id = b.canonical_doc_id AND b.rn = 1
+"""
+
+
 EXT_QUERIES = {
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
+    "dedup_canonical_best": (dedup_canonical_best, _dedup_canonical_best_sql()),
 }

@@ -171,3 +171,53 @@ def test_resize_images(spark, sf_dir):
         assert r.meta.width == 8 and r.meta.height == 4
         assert r.meta.n_bytes == len(r.payload) <= max(len(originals[doc_id]), 32)
         assert r.meta.codec == "fake-v1-resized"
+
+
+def test_benchmark_contamination_semantics(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.contamination import (
+        BENCH_MOD,
+        benchmark_contamination,
+    )
+
+    rows = benchmark_contamination(spark, sf_dir).collect()
+    # benchmark docs never appear in their own quarantine list
+    assert all(r.doc_id % BENCH_MOD != 0 for r in rows)
+    assert all(0 < r.n_contaminated <= r.n_grams for r in rows)
+    assert all(0.0 < r.contamination_ratio <= 1.0 for r in rows)
+
+
+def test_gopher_flags_shape(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.contamination import (
+        gopher_quality_flags,
+    )
+
+    rows = gopher_quality_flags(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        expect = (r.word_count_ok and r.mean_word_len_ok
+                  and r.stopwords_ok and r.symbol_ratio_ok)
+        assert r.gopher_pass == expect
+
+
+def test_dedup_canonical_best_picks_highest_quality(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.components import (
+        dedup_canonical_best,
+        dedup_clusters,
+    )
+    from e_commerce_etl_pipeline_spark.extensions.dedup_fuzzy import _mutated_corpus
+    from e_commerce_etl_pipeline_spark.extensions.text import quality_score
+
+    best = {r.canonical_doc_id: r for r in
+            dedup_canonical_best(spark, sf_dir).collect()}
+    members = dedup_clusters(spark, sf_dir).collect()
+    docs = {r.doc_id: r.q for r in
+            _mutated_corpus(spark, sf_dir)
+            .select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    # keeper is a member of its own cluster with the max quality there
+    by_cluster = {}
+    for m in members:
+        by_cluster.setdefault(m.canonical_doc_id, []).append(m.doc_id)
+    for cid, r in best.items():
+        assert r.best_doc_id in by_cluster[cid]
+        assert r.cluster_size == len(by_cluster[cid])
+        assert docs[r.best_doc_id] == max(docs[d] for d in by_cluster[cid])
