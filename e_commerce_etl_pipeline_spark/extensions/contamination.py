@@ -1,5 +1,5 @@
-"""Training-data hygiene operators: benchmark decontamination and
-Gopher-style document quality flags.
+"""Training-data hygiene operators: benchmark decontamination,
+Gopher-style document quality flags, and repetition filters.
 
 - ``benchmark_contamination``: the standard n-gram decontamination check
   (the GPT-3/Gopher recipe: a training document is contaminated if it
@@ -11,6 +11,11 @@ Gopher-style document quality flags.
   count band, mean word length band, stopword diversity, symbol ratio) —
   pure map stage, whole-stage codegen, no shuffle; the aggregate summary
   is a tiny group key.
+- ``repetition_flags``: Gopher-recipe repetition gates (duplicate-word
+  fraction, top-bigram character fraction, duplicate-2-gram character
+  fraction). All per-document array arithmetic — a pure map stage with
+  NO shuffle at any corpus size; per-doc cost is O(grams²) over ~100-gram
+  documents, i.e. constant.
 
 Both are DuckDB-oracle-checked; n-gram construction and every ratio are
 expressed identically in both engines (same word split, same md5 over
@@ -34,6 +39,13 @@ NGRAM = 4
 BENCH_MOD = 53      # doc_id % 53 == 0 -> the stand-in benchmark set
 
 MIN_WORDS, MAX_WORDS = 10, 10_000
+# Repetition gates (published recipes use 0.20-0.60 bands on web text;
+# this synthetic corpus has a tiny vocabulary, so bands are set from its
+# measured quantiles to keep pass/fail non-degenerate: each gate fails
+# roughly the top ~15-20% most-repetitive documents at sf0.01).
+MAX_DUP_WORD_FRAC = 0.60
+MAX_TOP_BIGRAM_CHAR_FRAC = 0.10
+MAX_DUP_2GRAM_CHAR_FRAC = 0.20
 MIN_MWL, MAX_MWL = 3.0, 10.0     # mean word length band
 MIN_DISTINCT_STOPWORDS = 2
 MAX_SYMBOL_RATIO = 0.1           # '#' and '...' per word
@@ -172,7 +184,141 @@ FROM documents
 """
 
 
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates per document (Gopher recipe):
+    duplicate-word fraction, fraction of characters in the most frequent
+    word bigram, and fraction of characters covered by repeated bigrams.
+    All ratios are exact-integer numerators over an exact-integer char
+    total with ONE trailing double division, so the DuckDB oracle
+    reproduces the same IEEE doubles. Tie-break for the top bigram:
+    lexicographically smallest among the max-count grams (its CHAR LENGTH
+    is what enters the ratio, so the choice must be deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Stage arrays as materialized columns: each level references the
+    # previous as an attribute, so nested higher-order expressions are
+    # computed once per row (a single inlined tree recomputes `pairs`
+    # inside per-element lambdas -> O(grams³) per doc; measured unusably
+    # slow in both engines).
+    w = F.col("w")
+    base = docs.select("doc_id", "lang", words_col(F.col("text")).alias("w"))
+    g2_expr = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - F.lit(2)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id", "lang", "w", g2_expr.alias("g2"),
+        F.aggregate(F.transform(w, lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"), lambda a, b: a + b).alias("total_chars"),
+    )
+    # (count, gram) per distinct gram — one filter scan per distinct gram
+    p = g.select(
+        "doc_id", "lang", "w", "g2", "total_chars",
+        F.transform(
+            F.array_distinct(F.col("g2")),
+            lambda x: F.struct(
+                F.size(F.filter(F.col("g2"), lambda y: y == x)).cast("long").alias("c"),
+                x.alias("g"),
+            ),
+        ).alias("pairs"),
+    )
+    # Two O(grams) passes: max count, then lexicographically smallest gram
+    # among the max-count ones (its CHAR LENGTH enters the ratio, so the
+    # choice must be deterministic). NOT a list_reduce/aggregate fold:
+    # DuckDB 1.0's list_reduce is non-deterministic under vectorized
+    # execution (measured: ~36/500 rows flip between identical runs), so
+    # the portable canon is max + filter-on-materialized-max.
+    dup_chars = F.aggregate(
+        F.col("pairs"), F.lit(0).cast("long"),
+        lambda acc, q: acc + F.when(
+            q["c"] > 1, q["c"] * (F.length(q["g"]) - F.lit(1)).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    t = p.select(
+        "doc_id", "lang", "w", "g2", "total_chars", "pairs",
+        F.array_max(F.transform(F.col("pairs"), lambda q: q["c"])).alias("top_cnt"),
+        dup_chars.alias("dup_chars"),
+    )
+    top_gram = F.array_min(
+        F.transform(
+            F.filter(F.col("pairs"), lambda q: q["c"] == F.col("top_cnt")),
+            lambda q: q["g"],
+        )
+    )
+    # gram string length minus the joining space = chars it covers
+    top_chars = F.col("top_cnt") * (F.length(top_gram) - F.lit(1)).cast("long")
+    out = t.select(
+        "doc_id", "lang",
+        ((F.size(w) - F.size(F.array_distinct(w))).cast("double")
+         / F.size(w).cast("double")).alias("dup_word_frac"),
+        F.when(F.size(F.col("g2")) > 0,
+               top_chars.cast("double") / F.col("total_chars").cast("double"))
+        .otherwise(F.lit(0.0)).alias("top_bigram_char_frac"),
+        F.when(F.size(F.col("g2")) > 0,
+               F.col("dup_chars").cast("double") / F.col("total_chars").cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_2gram_char_frac"),
+    )
+    flags = {
+        "dup_word_ok": F.col("dup_word_frac") <= MAX_DUP_WORD_FRAC,
+        "top_bigram_ok": F.col("top_bigram_char_frac") <= MAX_TOP_BIGRAM_CHAR_FRAC,
+        "dup_2gram_ok": F.col("dup_2gram_char_frac") <= MAX_DUP_2GRAM_CHAR_FRAC,
+    }
+    out = out.select("*", *[c.alias(n) for n, c in flags.items()])
+    all_ok = F.lit(True)
+    for name in flags:
+        all_ok = all_ok & F.col(name)
+    return out.withColumn("repetition_pass", all_ok)
+
+
+def _repetition_sql() -> str:
+    w = WORDS_SQL.format(t="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {w} AS w FROM documents
+), g AS (
+  SELECT doc_id, lang, w,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(range(len(w) - 1), i -> array_to_string(w[i + 1 : i + 2], ' '))
+    ELSE [] END AS g2,
+    list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS total_chars
+  FROM base
+), p AS (
+  SELECT doc_id, lang, w, g2, total_chars,
+    list_transform(list_distinct(g2), x ->
+      struct_pack(c := CAST(len(list_filter(g2, y -> y = x)) AS BIGINT), g := x)) AS pairs
+  FROM g
+), t AS (
+  SELECT doc_id, lang, w, g2, total_chars, pairs,
+    list_max(list_transform(pairs, q -> q.c)) AS top_cnt,
+    list_sum(list_transform(pairs, q ->
+      CASE WHEN q.c > 1 THEN q.c * (CAST(length(q.g) AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END)) AS dup_chars
+  FROM p
+), m AS (
+  SELECT doc_id, lang,
+    CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+    CASE WHEN len(g2) > 0 THEN
+      CAST(top_cnt * (CAST(length(list_aggregate(
+             list_transform(list_filter(pairs, q -> q.c = top_cnt), q -> q.g),
+             'min')) AS BIGINT) - 1) AS DOUBLE) / CAST(total_chars AS DOUBLE)
+    ELSE 0.0 END AS top_bigram_char_frac,
+    CASE WHEN len(g2) > 0 THEN
+      CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+    ELSE 0.0 END AS dup_2gram_char_frac
+  FROM t
+)
+SELECT doc_id, lang, dup_word_frac, top_bigram_char_frac, dup_2gram_char_frac,
+       dup_word_frac <= {MAX_DUP_WORD_FRAC} AS dup_word_ok,
+       top_bigram_char_frac <= {MAX_TOP_BIGRAM_CHAR_FRAC} AS top_bigram_ok,
+       dup_2gram_char_frac <= {MAX_DUP_2GRAM_CHAR_FRAC} AS dup_2gram_ok,
+       dup_word_frac <= {MAX_DUP_WORD_FRAC}
+       AND top_bigram_char_frac <= {MAX_TOP_BIGRAM_CHAR_FRAC}
+       AND dup_2gram_char_frac <= {MAX_DUP_2GRAM_CHAR_FRAC} AS repetition_pass
+FROM m
+"""
+
+
 EXT_QUERIES = {
     "benchmark_contamination": (benchmark_contamination, BENCHMARK_CONTAMINATION_SQL),
     "gopher_quality_flags": (gopher_quality_flags, _gopher_sql()),
+    "repetition_flags": (repetition_flags, _repetition_sql()),
 }

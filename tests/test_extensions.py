@@ -221,3 +221,29 @@ def test_dedup_canonical_best_picks_highest_quality(spark, sf_dir):
         assert r.best_doc_id in by_cluster[cid]
         assert r.cluster_size == len(by_cluster[cid])
         assert docs[r.best_doc_id] == max(docs[d] for d in by_cluster[cid])
+
+
+def test_repetition_flags_match_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from e_commerce_etl_pipeline_spark.extensions.contamination import (
+        repetition_flags,
+    )
+
+    rows = {r.doc_id: r for r in repetition_flags(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs[:25]:
+        w = d.text.strip().lower().split()
+        r = rows[d.doc_id]
+        assert r.dup_word_frac == (len(w) - len(set(w))) / len(w)
+        g2 = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        total = sum(len(x) for x in w)
+        cnt = Counter(g2)
+        top_c = max(cnt.values())
+        top_g = min(g for g, c in cnt.items() if c == top_c)
+        assert r.top_bigram_char_frac == top_c * (len(top_g) - 1) / total
+        dup = sum(c * (len(g) - 1) for g, c in cnt.items() if c > 1)
+        assert r.dup_2gram_char_frac == dup / total
+        expect = (r.dup_word_ok and r.top_bigram_ok and r.dup_2gram_ok)
+        assert r.repetition_pass == expect
