@@ -202,8 +202,73 @@ FROM red
 """
 
 
+# Target pre-training mixture over sources, as integer "parts" (the
+# ratio 8:4:2:1). Integer parts keep every quota computation exact in
+# both engines: u = min_s(count_s div parts_s), quota_s = parts_s * u is
+# the LARGEST sample with exactly this mixture (no source can supply
+# more than count_s docs). Sources absent from the map are excluded.
+MIXTURE_PARTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 1}
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: draw the largest sample whose source
+    composition matches MIXTURE_PARTS exactly, deterministically
+    (md5(doc_id) shuffle order within each source, like
+    ``stratified_lang_sample``). 100 TB shape: the corpus shuffles ONCE
+    by source for the ranking window; quotas come from a tiny per-source
+    count aggregate broadcast back. The rank bound is data-driven
+    (a column, not a literal), so the WindowGroupLimit partial-top-k
+    rewrite doesn't apply — the window is still a single streaming pass
+    per source partition."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    parts = F.lit(None).cast("long")
+    for src, p in MIXTURE_PARTS.items():
+        parts = F.when(F.col("source") == src, F.lit(p).cast("long")).otherwise(parts)
+    d = docs.filter(F.col("source").isin(*MIXTURE_PARTS)).withColumn("parts", parts)
+    counts = d.groupBy("source", "parts").agg(F.count(F.lit(1)).alias("n"))
+    u = counts.agg(F.min(F.expr("n DIV parts")).alias("u"))
+    quotas = counts.crossJoin(F.broadcast(u)).select(
+        "source", (F.col("parts") * F.col("u")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "source", "lang", "sample_rank", "quota")
+    )
+
+
+def _mixture_sql() -> str:
+    values = ",".join(f"('{s}', {p})" for s, p in MIXTURE_PARTS.items())
+    return f"""
+WITH wt AS (SELECT * FROM (VALUES {values}) AS t(source, parts)),
+counts AS (
+  SELECT d.source, wt.parts, COUNT(*) AS n
+  FROM documents d JOIN wt ON d.source = wt.source
+  GROUP BY d.source, wt.parts
+), u AS (
+  SELECT MIN(n // parts) AS u FROM counts
+), q AS (
+  SELECT counts.source, CAST(counts.parts * u.u AS BIGINT) AS quota FROM counts, u
+), ranked AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents d JOIN wt ON d.source = wt.source
+)
+SELECT r.doc_id, r.source, r.lang, r.sample_rank, q.quota
+FROM ranked r JOIN q ON r.source = q.source
+WHERE r.sample_rank <= q.quota
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
+    "source_mixture_sample": (source_mixture_sample, _mixture_sql()),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SQL),
     "quality_filter_summary": (quality_filter_summary, _quality_filter_sql()),
     "redact_pii_docs": (redact_pii_docs, REDACT_PII_SQL),

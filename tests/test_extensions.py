@@ -247,3 +247,22 @@ def test_repetition_flags_match_python_recompute(spark, sf_dir):
         assert r.dup_2gram_char_frac == dup / total
         expect = (r.dup_word_ok and r.top_bigram_ok and r.dup_2gram_ok)
         assert r.repetition_pass == expect
+
+
+def test_source_mixture_sample_exact_ratio(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.curation import (
+        MIXTURE_PARTS,
+        source_mixture_sample,
+    )
+
+    rows = source_mixture_sample(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) <= set(MIXTURE_PARTS)
+    u = {s: len(v) // MIXTURE_PARTS[s] for s, v in by_src.items()}
+    # exact mixture: every source contributes parts * the same multiplier
+    assert len(set(u.values())) == 1
+    for s, v in by_src.items():
+        assert len(v) == MIXTURE_PARTS[s] * next(iter(u.values()))
+        assert all(r.sample_rank <= r.quota for r in v)
