@@ -1,0 +1,184 @@
+"""Int8 embedding quantization + quantized similarity search.
+
+The 100 TB rationale: a 64-dim float32 embedding column is 256 bytes/row;
+symmetric per-vector int8 quantization cuts that to 64 bytes + one float
+scale — 4× less scan bandwidth and shuffle payload for every similarity
+pass, which at corpus scale is the difference between an ANN sweep that
+fits in cluster memory and one that spills. The dot product becomes an
+exact INTEGER sum (no float-association concerns at all), with one
+trailing double division for the cosine.
+
+Determinism contract (both engines produce bit-identical results):
+- scale s = max(|x_i|) per vector; q_i = floor(x_i / s · 127 + 0.5)
+  — floor is exact in IEEE arithmetic, unlike round(), whose half-way
+  rule differs across engines;
+- quantized dot/norms are BIGINT sums — associativity is a non-issue;
+- the only doubles are the final cosine division and sqrt, computed from
+  identical integers.
+
+``quantized_recall_eval`` closes the loop: recall@3 of the int8 path
+against the float brute-force exact top-3, measured in-engine like
+``ann_recall_eval`` does for LSH/IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.queries import load_table
+from .similarity import DIM, N_QUERIES, TOP_K, _as_double, brute_force_topk
+
+QBITS_MAX = 127  # symmetric int8 range
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<int>, qn: bigint) — per-vector symmetric int8
+    quantization with the squared quantized norm. Staged selects so each
+    array level is computed once per row."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    s = v.select(
+        "vec_id", "v",
+        F.array_max(F.transform(F.col("v"), F.abs)).alias("s"),
+    )
+    q = s.select(
+        "vec_id",
+        F.when(
+            F.col("s") > 0,
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("s") * F.lit(127.0) + F.lit(0.5)).cast("int"),
+            ),
+        ).otherwise(
+            F.transform(F.col("v"), lambda x: F.lit(0).cast("int"))
+        ).alias("q"),
+    )
+    return q.select(
+        "vec_id", "q",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"), lambda a, b: a + b,
+        ).alias("qn"),
+    )
+
+
+def _qdot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k in int8 space: same O(Q×N) shape as
+    ``brute_force_topk`` but every pair costs an integer dot product over
+    4× less data — the quantization payoff measured on the same query
+    set. Ranking key is the quantized cosine (exact-integer dot over
+    sqrt of exact-integer norm product)."""
+    qv = _quantized(spark, sf_dir)
+    queries = qv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"),
+    )
+    pairs = queries.join(qv, F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        (_qdot(F.col("qq"), F.col("q")).cast("double")
+         / F.sqrt((F.col("qqn") * F.col("qn")).cast("double"))).alias("qcos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "neighbor_id")
+    )
+
+
+_QUANT_CTE = f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM v
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(floor(x / s * 127.0 + 0.5) AS INT))
+              ELSE list_transform(v, x -> CAST(0 AS INT)) END AS q
+  FROM s
+), qn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS qn
+  FROM qz
+)"""
+
+_QDOT_SQL = (
+    "CAST(list_sum(list_transform(range(" + str(DIM) + "), "
+    "i -> CAST(a.q[i + 1] AS BIGINT) * CAST(b.q[i + 1] AS BIGINT))) AS BIGINT)"
+)
+
+QUANTIZED_TOPK_SQL = f"""
+WITH {_QUANT_CTE}, scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         CAST({_QDOT_SQL} AS DOUBLE) / sqrt(CAST(a.qn * b.qn AS DOUBLE)) AS qcos
+  FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, neighbor_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the int8 path against the float exact top-3 — the
+    accuracy cost of the 4× bandwidth cut, measured in-engine."""
+    exact3 = (
+        brute_force_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("qid", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    approx = (
+        quantized_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select(F.lit("int8").alias("method"), "qid", "neighbor_id")
+    )
+    denom = float(N_QUERIES * 3)
+    return (
+        approx.join(exact3, ["qid", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"),
+        )
+        .withColumn("recall_at_3", F.col("hits").cast("double") / F.lit(denom))
+    )
+
+
+from .similarity import BRUTE_FORCE_TOPK_SQL  # noqa: E402
+
+QUANTIZED_RECALL_SQL = f"""
+WITH bf AS ({BRUTE_FORCE_TOPK_SQL}),
+exact3 AS (SELECT qid, neighbor_id FROM bf WHERE rank <= 3),
+qt AS ({QUANTIZED_TOPK_SQL}),
+approx AS (SELECT 'int8' AS method, qid, neighbor_id FROM qt WHERE rank <= 3)
+SELECT method, COUNT(*) AS n_returned,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
+                             WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
+           THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM exact3 e
+                             WHERE e.qid = a.qid AND e.neighbor_id = a.neighbor_id)
+           THEN 1 ELSE 0 END) AS DOUBLE) / {float(N_QUERIES * 3)} AS recall_at_3
+FROM approx a
+GROUP BY method
+"""
+
+
+EXT_QUERIES = {
+    "quantized_topk": (quantized_topk, QUANTIZED_TOPK_SQL),
+    "quantized_recall_eval": (quantized_recall_eval, QUANTIZED_RECALL_SQL),
+}

@@ -266,3 +266,22 @@ def test_source_mixture_sample_exact_ratio(spark, sf_dir):
     for s, v in by_src.items():
         assert len(v) == MIXTURE_PARTS[s] * next(iter(u.values()))
         assert all(r.sample_rank <= r.quota for r in v)
+
+
+def test_quantization_bounds_and_recall(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.quantize import (
+        _quantized,
+        quantized_recall_eval,
+    )
+
+    qv = _quantized(spark, sf_dir).collect()
+    for r in qv[:50]:
+        assert all(-127 <= x <= 127 for x in r.q)
+        # symmetric quantization maps the max-|x| element to ±127
+        assert max(abs(x) for x in r.q) == 127
+        assert r.qn == sum(x * x for x in r.q)
+    (r,) = quantized_recall_eval(spark, sf_dir).collect()
+    assert r.method == "int8"
+    assert r.n_returned == 150
+    # int8 keeps ranking nearly intact; large drops indicate a broken scale
+    assert r.recall_at_3 >= 0.9
