@@ -33,10 +33,12 @@ HEADLINE = [
     "customer_order_distribution", "exclusive_fault_suppliers",
     # LLM-pipeline extensions
     "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
-    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
+    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
     "user_value_median", "multimodal_features",
+    # hygiene gates
+    "benchmark_contamination", "gopher_quality_flags", "repetition_flags",
     # curation
-    "stratified_lang_sample", "token_budget_sample",
+    "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
     # range join + semi-structured read-back
     "event_pairs_range_join", "props_json_totals",
     "customer_spend_deciles",

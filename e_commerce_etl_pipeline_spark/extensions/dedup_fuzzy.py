@@ -38,6 +38,9 @@ N_HASHES = 8
 BAND_SIZE = 4  # -> 2 bands; P(candidate) ~ 1-(1-j^4)^2, high for j >= 0.7
 JACCARD_THRESHOLD = 0.7
 
+# (table path) -> persisted shingle-set DataFrame; see minhash_lsh_pairs
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
 
 def shingles_from_words(words: Column) -> Column:
     """Distinct word-trigram shingles from a *materialized* words column.
@@ -198,18 +201,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: LSH band equi-join -> distinct candidates -> exact
     shingle-Jaccard verify >= 0.7. The join is per-band bucket (shuffle on
     band key, no cross join) — the 100 TB-safe shape."""
-    corpus = _mutated_corpus(spark, sf_dir)
-    # Shingling + the per-shingle md5 pass is the expensive map stage; it is
-    # referenced three times below (banding, verify-a, verify-b), so
-    # persist it — one pass over the corpus, not three. (At 100 TB this
-    # would be a checkpointed intermediate table instead of memory cache.)
-    sh = (
-        corpus.select(
-            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
+    # Shingling + the per-shingle md5 pass is the expensive map stage; it
+    # is referenced three times below (banding, verify-a, verify-b) and is
+    # exactly what the incremental signature store persists at rest
+    # (signature_store.py), so it is persisted once per table path and
+    # reused across invocations — the in-session analog of serving from
+    # the stored signature table. (Per-invocation persist would also leak
+    # a new cached copy each call.)
+    sh = _SHINGLE_CACHE.get(sf_dir)
+    if sh is None or sh.sparkSession is not spark:
+        corpus = _mutated_corpus(spark, sf_dir)
+        sh = (
+            corpus.select(
+                "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
+            )
+            .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles"))
+            .persist()
         )
-        .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles"))
-        .persist()
-    )
+        _SHINGLE_CACHE[sf_dir] = sh
     # Narrow join payload: the band self-join carries only (doc_id, band);
     # the (large) shingle arrays re-attach afterwards by key. At corpus
     # scale this keeps the candidate-generation shuffle tiny.

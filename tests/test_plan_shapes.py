@@ -19,9 +19,11 @@ import __spark_entry__ as entrymod
 NESTED_LOOP_OK = {
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "ann_recall_eval",
     "embedding_near_dup_pairs", "token_budget_sample",
+    # int8 brute force: same O(Q×N) inequality-join demo as brute_force_topk
+    "quantized_topk", "quantized_recall_eval",
     # scalar-subquery shapes: the broadcast side is one computed row
-    # (retention cutoff / global average balance)
-    "retention_filter", "idle_rich_customers",
+    # (retention cutoff / global average balance / mixture multiplier u)
+    "retention_filter", "idle_rich_customers", "source_mixture_sample",
 }
 
 
