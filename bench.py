@@ -37,8 +37,11 @@ HEADLINE = [
     "user_value_median", "multimodal_features",
     # hygiene gates
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",
+    # corpus statistics + cross-modal fusion
+    "tfidf_top_terms", "cross_source_overlap", "lexical_semantic_pairs",
     # curation
     "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
+    "sequence_packing",
     # range join + semi-structured read-back
     "event_pairs_range_join", "props_json_totals",
     "customer_spend_deciles",

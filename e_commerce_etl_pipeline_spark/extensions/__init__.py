@@ -13,13 +13,17 @@ from .components import EXT_QUERIES as COMPONENTS_QUERIES  # noqa: F401
 from .curation import EXT_QUERIES as CURATION_QUERIES  # noqa: F401
 from .contamination import EXT_QUERIES as CONTAMINATION_QUERIES  # noqa: F401
 from .quantize import EXT_QUERIES as QUANTIZE_QUERIES  # noqa: F401
+from .tfidf import EXT_QUERIES as TFIDF_QUERIES  # noqa: F401
+from .fusion import EXT_QUERIES as FUSION_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
     **TEXT_QUERIES,
+    **TFIDF_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **QUANTIZE_QUERIES,
+    **FUSION_QUERIES,
     **MULTIMODAL_QUERIES,
     **GROUPED_PANDAS_QUERIES,
     **COMPONENTS_QUERIES,

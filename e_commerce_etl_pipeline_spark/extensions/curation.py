@@ -266,8 +266,94 @@ WHERE r.sample_rank <= q.quota
 """
 
 
+# Sequence packing: concat-then-chunk document placement for training
+# batches. SEQ_LEN is the packed sequence length in whitespace tokens;
+# PACK_BUCKET is the coarse-bucket width (docs per bucket) of the
+# two-level prefix scan.
+SEQ_LEN = 256
+PACK_BUCKET = 100
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document out on one
+    global token tape (corpus order = doc_id) and record, per document,
+    its start offset, the SEQ_LEN-token training sequence its first
+    token lands in, and whether it straddles a sequence boundary — the
+    bookkeeping an LLM data loader needs to pack fixed-length batches.
+
+    The global running sum is NOT a single-partition window (the
+    straggler customer_spend_deciles' docstring warns about): it is a
+    two-level prefix scan —
+    1. coarse buckets of PACK_BUCKET docs each get a LOCAL cumulative
+       sum (window partitioned by bucket — parallel);
+    2. per-bucket totals (corpus/PACK_BUCKET rows — metadata-sized)
+       get their own tiny running sum, and the resulting bucket offsets
+       broadcast-join back: global = bucket offset + local cumsum.
+    At larger corpora PACK_BUCKET grows so level-2 stays metadata-sized
+    (10^6-doc buckets keep a trillion-doc corpus at 10^6 offset rows);
+    a third level repeats the trick if that ever overflows.
+
+    All arithmetic is exact int64; the sequence id divides on doubles
+    below 2^53 (a 100 TB corpus is ~10^13 tokens), so floor(x / L) is
+    exact in both engines."""
+    from .text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    b = docs.withColumn("__b", F.expr(f"doc_id DIV {PACK_BUCKET}"))
+    local_w = (
+        Window.partitionBy("__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("__cum", F.sum("n_tokens").over(local_w))
+    totals = b.groupBy("__b").agg(F.sum("n_tokens").alias("__btot"))
+    offset_w = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(offset_w), F.lit(0))
+    ).select("__b", "__off")
+    placed = local.join(F.broadcast(offsets), "__b").select(
+        "doc_id", "n_tokens",
+        (F.col("__off") + F.col("__cum") - F.col("n_tokens")).alias("start_offset"),
+    )
+    seq = F.floor(F.col("start_offset") / F.lit(SEQ_LEN)).cast("long")
+    end_seq = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(SEQ_LEN)
+    ).cast("long")
+    return placed.select(
+        "doc_id", "n_tokens", "start_offset",
+        seq.alias("seq_id"),
+        (seq != end_seq).alias("crosses_boundary"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       CAST(FLOOR(start_offset / {SEQ_LEN}.0) AS BIGINT)
+         <> CAST(FLOOR((start_offset + n_tokens - 1) / {SEQ_LEN}.0) AS BIGINT)
+         AS crosses_boundary
+FROM placed
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SQL),
     "quality_filter_summary": (quality_filter_summary, _quality_filter_sql()),

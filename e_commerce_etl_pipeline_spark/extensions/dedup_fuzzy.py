@@ -40,6 +40,9 @@ JACCARD_THRESHOLD = 0.7
 
 # (table path) -> persisted shingle-set DataFrame; see minhash_lsh_pairs
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
+# same, for the REAL (unmutated) corpus with source column attached;
+# see cross_source_overlap
+_REAL_SHINGLE_CACHE: dict[str, DataFrame] = {}
 
 
 def shingles_from_words(words: Column) -> Column:
@@ -394,8 +397,122 @@ SELECT doc_id, {bits} AS simhash16 FROM v
 """
 
 
+def real_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, source, shingles) over the REAL corpus —
+    shared by cross_source_overlap and fusion.lexical_semantic_pairs,
+    cached per table path like the mutated-corpus shingle set above."""
+    sh = _REAL_SHINGLE_CACHE.get(sf_dir)
+    if sh is None or sh.sparkSession is not spark:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        sh = (
+            docs.select(
+                "doc_id", "source",
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w"),
+            )
+            .select("doc_id", "source",
+                    shingles_from_words(F.col("__w")).alias("shingles"))
+            .persist()
+        )
+        _REAL_SHINGLE_CACHE[sf_dir] = sh
+    return sh
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate overlap matrix between corpus SOURCES: for every
+    unordered source pair, how many LSH candidate document pairs link
+    them, how many verify as near-dups (Jaccard ≥ threshold), and the
+    strongest overlap seen. The per-source-pair counts are what decides
+    "drop source B, it is 40% a copy of source A" before a 100 TB crawl
+    merge.
+
+    Same banded equi-join as minhash_lsh_pairs (never all-pairs), on the
+    REAL corpus (no planted mutations — the operator measures the data's
+    own redundancy). Aggregates are integers plus MAX of per-pair
+    doubles, all insensitive to aggregation order, so the oracle
+    hash-matches exactly."""
+    sh = real_shingles(spark, sf_dir)
+    banded = sh.select(
+        "doc_id", shingle_hexes(F.col("shingles")).alias("__h")
+    ).select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys_from_hexes(F.col("__h"))))
+        .alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("source").alias("src_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("src_b"), F.col("shingles").alias("sb"))
+    scored = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sa"), F.col("sb")))
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return scored.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+        ).alias("n_near_dup"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {WORDS_SQL.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SH} AS shingles FROM base
+), hx AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hexes FROM sh
+), banded0 AS (
+  SELECT doc_id, {', '.join(_band_sql_exprs('hexes'))} FROM hx
+), banded AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM banded0
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_key FROM banded0
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT LEAST(wa.source, wb.source) AS source_a,
+         GREATEST(wa.source, wb.source) AS source_b,
+         CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(wa.shingles, wb.shingles))) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sh wa ON cand.doc_a = wa.doc_id
+  JOIN sh wb ON cand.doc_b = wb.doc_id
+)
+SELECT source_a, source_b,
+       COUNT(*) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup,
+       MAX(jaccard) AS max_jaccard
+FROM scored GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES = {
     "exact_dedup": (exact_dedup, EXACT_DEDUP_SQL),
+    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),

@@ -22,8 +22,10 @@ NESTED_LOOP_OK = {
     # int8 brute force: same O(Q×N) inequality-join demo as brute_force_topk
     "quantized_topk", "quantized_recall_eval",
     # scalar-subquery shapes: the broadcast side is one computed row
-    # (retention cutoff / global average balance / mixture multiplier u)
+    # (retention cutoff / global average balance / mixture multiplier u /
+    # corpus doc count N for the DF-rarity weights)
     "retention_filter", "idle_rich_customers", "source_mixture_sample",
+    "tfidf_top_terms", "rare_term_docs",
 }
 
 
