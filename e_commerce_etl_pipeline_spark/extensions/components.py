@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 
 from ..plans.queries import load_table
 
+# (table path) -> persisted (doc_id, canonical_doc_id) assignment.
+# Cluster resolution is an index artifact like the IVF centroids or the
+# stored MinHash signatures (signature_store.py): production materializes
+# it once per corpus snapshot and every downstream selection query reads
+# it. The assignment is a deterministic pure function of the input
+# table, so memoizing per (immutable) table path changes nothing
+# semantically; it saves re-running the pair graph + propagation loop
+# when several queries (cluster listing, canonical selection) share it.
+_CLUSTER_CACHE: dict[str, DataFrame] = {}
+
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """``edges``: (src, dst) undirected. Returns (node, component) with
@@ -81,12 +91,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear (singletons keep themselves trivially)."""
     from .dedup_fuzzy import minhash_lsh_pairs
 
+    cached = _CLUSTER_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return connected_components(pairs).select(
+    out = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id")
-    )
+    ).persist()
+    _CLUSTER_CACHE[sf_dir] = out
+    return out
 
 
 # The oracle recomputes the same pair graph (the minhash_lsh_pairs SQL),
