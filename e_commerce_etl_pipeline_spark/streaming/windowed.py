@@ -94,6 +94,41 @@ def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     yield pd.DataFrame({"key": [key[0]], "first_batch_ts": [first_ts]})
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    within: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution shape
+    (impression stream ⨝ conversion stream where the conversion lands in
+    [impression_ts, impression_ts + ``within``]).
+
+    Both sides carry a watermark and the join condition bounds the event
+    times against each other, so Spark derives a state-retention horizon
+    for BOTH sides: an impression is dropped from state once no
+    in-interval conversion can still arrive (watermark past
+    impression_ts + within), a conversion once its candidate impressions
+    have aged out. State is bounded at any stream length — the
+    requirement for running this on an unbounded 100 TB/day event feed.
+
+    The two inputs must use distinct column names apart from ``key``
+    (rename before calling); the join itself is a shuffled equi-join on
+    ``key`` with the time bound as a post-filter Spark folds into the
+    state lookup."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+
+
 def running_dedup_stream(stream: DataFrame, key_col: str) -> DataFrame:
     """Custom stateful operator: emit each key once across the stream's
     lifetime (applyInPandasWithState; update mode)."""

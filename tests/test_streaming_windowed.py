@@ -143,3 +143,43 @@ def test_enrich_with_dim_broadcast_join(spark, tmp_path):
     got = {r.user_id: r.tier for r in
            spark.sql("SELECT * FROM enriched").collect()}
     assert got == {1: "gold", 9: None}
+
+
+CONV_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("r_ts", T.TimestampType()),
+    T.StructField("conv_type", T.StringType()),
+])
+
+
+def test_join_streams_interval_attribution(spark, tmp_path):
+    """Impressions ⨝ conversions within 15 minutes: in-window pairs
+    join, out-of-window and unmatched events drop."""
+    from e_commerce_etl_pipeline_spark.streaming.windowed import (
+        join_streams_interval,
+    )
+
+    imp_dir, conv_dir = tmp_path / "imp", tmp_path / "conv"
+    imp_dir.mkdir(), conv_dir.mkdir()
+    spark.createDataFrame([
+        (1, ts("2024-01-01T00:00:00"), "banner"),
+        (2, ts("2024-01-01T00:00:00"), "banner"),
+        (3, ts("2024-01-01T00:00:00"), "banner"),
+    ], USER_EV_SCHEMA).write.mode("overwrite").parquet(str(imp_dir / "b1"))
+    spark.createDataFrame([
+        (1, ts("2024-01-01T00:10:00"), "purchase"),   # in window
+        (2, ts("2024-01-01T00:40:00"), "purchase"),   # past 15 min -> drop
+        (4, ts("2024-01-01T00:05:00"), "purchase"),   # no impression
+        (9, ts("2024-01-01T09:00:00"), "noise"),      # advances watermark
+    ], CONV_SCHEMA).write.mode("overwrite").parquet(str(conv_dir / "b1"))
+    imps = spark.readStream.schema(USER_EV_SCHEMA).option(
+        "recursiveFileLookup", "true").parquet(str(imp_dir))
+    convs = spark.readStream.schema(CONV_SCHEMA).option(
+        "recursiveFileLookup", "true").parquet(str(conv_dir))
+    q = (join_streams_interval(imps, convs).writeStream.format("memory")
+         .queryName("attrib").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.conv_type) for r in
+           spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(1, "purchase")}
