@@ -73,16 +73,32 @@ def _ngram_sql(t: str = "text", n: int = NGRAM) -> str:
     )
 
 
+# (table path) -> persisted exploded (doc_id, gram-md5) table; the
+# shingling/hashing map stage feeds three aggregations (benchmark set,
+# per-doc totals, hit counts), so it is materialized once per table path
+# — same index-artifact pattern as the dedup shingle caches.
+_GRAM_CACHE: dict[str, DataFrame] = {}
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _GRAM_CACHE.get(sf_dir)
+    if g is None or g.sparkSession is not spark:
+        docs = load_table(spark, sf_dir, "documents")
+        g = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(ngram_hashes(F.col("text")))).alias("g"),
+        ).persist()
+        _GRAM_CACHE[sf_dir] = g
+    return g
+
+
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per training document: how many of its distinct word 8-grams also
     occur in the benchmark set (doc_id % BENCH_MOD == 0 — the stand-in
     for a held-out eval suite), plus the contamination ratio. Documents
     with zero overlap are excluded (at corpus scale the output is the
     quarantine list, not the corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(ngram_hashes(F.col("text")))).alias("g")
-    )
+    grams = _grams(spark, sf_dir)
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("g").distinct()
