@@ -34,6 +34,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
+    "embedding_cluster_summary",
     "user_value_median", "multimodal_features",
     # hygiene gates
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",

@@ -463,6 +463,23 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
     return out.withColumn("cnorm", l2_norm(F.col("cv")))
 
 
+def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF centroids (cell, cv, cnorm): k rows (≤ MAX_CELLS) —
+    persisted AND memoized per (table path, k). Centroids are an index
+    artifact — production trains them once and serves every query from
+    the trained index — so repeat invocations against the same immutable
+    table reuse the trained centroids instead of re-running the seed
+    rank + Lloyd pass. Still a pure deterministic function of the input
+    table, so oracle parity is unaffected."""
+    emb = _emb(spark, sf_dir)
+    k = ivf_cells(corpus_count(spark, sf_dir))
+    cents = _CENT_CACHE.get((sf_dir, k))
+    if cents is None or cents.sparkSession is not spark:
+        cents = _kmeans_centroids(emb, k).persist()
+        _CENT_CACHE[(sf_dir, k)] = cents
+    return cents
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization to the nearest of
     ivf_cells(n) k-means centroids (sampled seeds + one exact Lloyd
@@ -481,19 +498,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets whose mean size stays ≤ TARGET_CELL_OCC as the corpus
     grows, never O(n²)."""
     emb = _emb(spark, sf_dir)
-    k = ivf_cells(corpus_count(spark, sf_dir))
-    # k rows (≤ MAX_CELLS) — persisted AND memoized per (table path, k):
-    # IVF centroids are an index artifact — production trains them once
-    # and serves every query from the trained index — so repeat
-    # invocations against the same immutable table reuse the trained
-    # centroids instead of re-running the seed rank + Lloyd pass. The
-    # result is still a pure function of the input tables (the training
-    # is deterministic), so correctness/oracle parity is unaffected; the
-    # full-corpus ASSIGNMENT below stays inline per query.
-    cents = _CENT_CACHE.get((sf_dir, k))
-    if cents is None or cents.sparkSession is not spark:
-        cents = _kmeans_centroids(emb, k).persist()
-        _CENT_CACHE[(sf_dir, k)] = cents
+    cents = trained_centroids(spark, sf_dir)
     # full-corpus assignment: max_by hash aggregate (n-row shuffle after
     # map-side partials), not an n×K ranking window — see _assign_nearest
     assigned = _assign_nearest(emb, cents)
@@ -648,8 +653,68 @@ GROUP BY method
 """
 
 
+def embedding_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus as a first-class
+    operator: per trained cell, the member count, member-id range, and
+    the centroid's L2 norm — the partition report a curation pipeline
+    reads before per-cluster sampling or balancing. Reuses the trained
+    IVF index (sampled seeds + exact Lloyd step, corpus-size-driven k);
+    the full-corpus assignment is the max_by hash aggregate (map-side
+    partials, n-row shuffle). All outputs are exact integers or
+    deterministic doubles (centroid means from exact scaled-integer
+    sums), so the oracle hash-matches."""
+    emb = _emb(spark, sf_dir)
+    cents = trained_centroids(spark, sf_dir)
+    assigned = _assign_nearest(emb, cents)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .join(cents.select("cell", F.col("cnorm").alias("centroid_norm")), "cell")
+    )
+
+
+EMBEDDING_CLUSTER_SUMMARY_SQL = f"""
+WITH {_PARAMS_SQL}, v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cell, v FROM v, params
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= params.k
+), a0 AS (
+  SELECT v.vec_id, v.v AS v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}) DESC, cell) AS rn
+  FROM v CROSS JOIN seeds s
+), csums AS (
+  SELECT cell, COUNT(*) AS nc,
+         {_SCALED_SUMS_SQL}
+  FROM a0 WHERE rn = 1 GROUP BY cell
+), cm AS (
+  SELECT cell,
+         {_MEANS_SQL}
+  FROM csums
+), a1 AS (
+  SELECT v.vec_id, cm.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}) DESC, cm.cell) AS rn
+  FROM v CROSS JOIN cm
+)
+SELECT a1.cell, COUNT(*) AS n_members,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
+       MIN({_mnorm_sql('cm')}) AS centroid_norm
+FROM a1 JOIN cm ON a1.cell = cm.cell
+WHERE rn = 1
+GROUP BY a1.cell
+"""
+
+
 EXT_QUERIES = {
     "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
+    "embedding_cluster_summary": (embedding_cluster_summary,
+                                  EMBEDDING_CLUSTER_SUMMARY_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
     "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
