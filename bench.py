@@ -42,7 +42,7 @@ HEADLINE = [
     "tfidf_top_terms", "cross_source_overlap", "lexical_semantic_pairs",
     # curation
     "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
-    "sequence_packing",
+    "sequence_packing", "cluster_size_histogram",
     # range join + semi-structured read-back
     "event_pairs_range_join", "props_json_totals",
     "customer_spend_deciles",

@@ -180,7 +180,39 @@ FROM sizes s JOIN best b ON s.canonical_doc_id = b.canonical_doc_id AND b.rn = 1
 """
 
 
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: how many clusters have 2
+    members, 3 members, … — the first chart anyone draws from a dedup
+    run (it decides whether dedup is worth the candidate-join cost on
+    this corpus). Two tiny hash aggregates over the cached cluster
+    assignment; singletons never enter the pair graph, so sizes start
+    at 2."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("canonical_doc_id").alias("example_canonical_doc"),
+    )
+
+
+def _cluster_size_histogram_sql() -> str:
+    return f"""
+WITH clusters AS ({_dedup_clusters_sql().strip()}),
+sizes AS (
+  SELECT canonical_doc_id, COUNT(*) AS cluster_size
+  FROM clusters GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       MIN(canonical_doc_id) AS example_canonical_doc
+FROM sizes GROUP BY 1
+"""
+
+
 EXT_QUERIES = {
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
+    "cluster_size_histogram": (cluster_size_histogram,
+                               _cluster_size_histogram_sql()),
     "dedup_canonical_best": (dedup_canonical_best, _dedup_canonical_best_sql()),
 }

@@ -266,6 +266,82 @@ WHERE r.sample_rank <= q.quota
 """
 
 
+def dedup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation step every real pipeline runs: resolve
+    near-dup clusters, keep only each cluster's HIGHEST-QUALITY member
+    (dedup_canonical_best's policy), then draw the deterministic
+    per-language quota sample from the survivors. Population is the
+    near-dup corpus (documents ∪ planted mutations, language inherited
+    from the source doc) — the survivors are a real mix of originals and
+    mutations (whichever scored higher), so the sample demonstrably
+    differs from sampling the raw corpus. Composition of the cached
+    cluster/selection artifacts with the hash-rank sampler: one
+    anti-join plus the one sampling shuffle."""
+    from .components import dedup_canonical_best, dedup_clusters
+    from .dedup_fuzzy import _mutated_corpus
+
+    corpus = _mutated_corpus(spark, sf_dir).select("doc_id")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__real_id"), "lang"
+    )
+    pop = corpus.join(
+        F.broadcast(langs),
+        corpus.doc_id % 1_000_000 == F.col("__real_id"),
+    ).select("doc_id", "lang")
+    members = dedup_clusters(spark, sf_dir)
+    best = dedup_canonical_best(spark, sf_dir).select(
+        F.col("canonical_doc_id"), F.col("best_doc_id")
+    )
+    losers = (
+        members.join(best, "canonical_doc_id")
+        .filter(F.col("doc_id") != F.col("best_doc_id"))
+        .select("doc_id")
+    )
+    kept = pop.join(losers, "doc_id", "left_anti")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        kept.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= SAMPLE_QUOTA)
+    )
+
+
+def _dedup_aware_sample_sql() -> str:
+    from .components import _dedup_canonical_best_sql, _dedup_clusters_sql
+
+    return f"""
+WITH best_t AS ({_dedup_canonical_best_sql().strip()}),
+pop AS (
+  SELECT c.doc_id, d.lang
+  FROM (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 FROM documents
+  ) c JOIN documents d ON c.doc_id % 1000000 = d.doc_id
+),
+clusters2 AS ({_dedup_clusters_sql().strip()}),
+losers AS (
+  SELECT m.doc_id
+  FROM clusters2 m JOIN best_t b ON m.canonical_doc_id = b.canonical_doc_id
+  WHERE m.doc_id <> b.best_doc_id
+),
+kept AS (
+  SELECT p.doc_id, p.lang FROM pop p
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id)
+)
+SELECT doc_id, lang, sample_rank
+FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM kept
+)
+WHERE sample_rank <= {SAMPLE_QUOTA}
+"""
+
+
 # Sequence packing: concat-then-chunk document placement for training
 # batches. SEQ_LEN is the packed sequence length in whitespace tokens;
 # PACK_BUCKET is the coarse-bucket width (docs per bucket) of the
@@ -354,6 +430,7 @@ FROM placed
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SQL),
     "quality_filter_summary": (quality_filter_summary, _quality_filter_sql()),

@@ -86,3 +86,36 @@ def test_lexical_semantic_pair_scores_are_bounded(spark, sf_dir):
         assert 0.0 <= r.jaccard <= 1.0
         assert -1.0000001 <= r.cosine <= 1.0000001
         assert r.lexical_dup == (r.jaccard >= 0.7)
+
+
+def test_dedup_aware_sample_excludes_cluster_losers(spark, sf_dir):
+    """Every sampled doc must be its cluster's best member (or
+    unclustered), and the sample must draw from the mixed
+    original∪mutation population — not just the raw documents table."""
+    from e_commerce_etl_pipeline_spark.extensions.components import (
+        dedup_canonical_best,
+    )
+    from e_commerce_etl_pipeline_spark.extensions.curation import (
+        SAMPLE_QUOTA,
+        dedup_aware_sample,
+    )
+
+    sample = dedup_aware_sample(spark, sf_dir)
+    rows = sample.collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang[r.lang] = max(per_lang.get(r.lang, 0), r.sample_rank)
+    assert all(v <= SAMPLE_QUOTA for v in per_lang.values())
+    from e_commerce_etl_pipeline_spark.extensions.components import (
+        dedup_clusters,
+    )
+
+    best = {r.best_doc_id for r in dedup_canonical_best(spark, sf_dir).collect()}
+    clustered = {r.doc_id for r in dedup_clusters(spark, sf_dir).collect()}
+    sampled = {r.doc_id for r in rows}
+    # a sampled doc is either unclustered, or its cluster's best member
+    assert all(d in best or d not in clustered for d in sampled)
+    # the winning member is sometimes the mutation: the population was
+    # really the deduped mixed corpus
+    assert any(d >= 1_000_000 for d in sampled)
