@@ -32,7 +32,8 @@ HEADLINE = [
     "nation_trade_volume", "returned_revenue_customers",
     "customer_order_distribution", "exclusive_fault_suppliers",
     # LLM-pipeline extensions
-    "text_stats", "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
+    "text_stats", "doc_length_percentiles", "length_outlier_docs",
+    "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
     "embedding_cluster_summary",
     "user_value_median", "multimodal_features",

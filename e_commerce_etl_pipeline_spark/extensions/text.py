@@ -9,7 +9,7 @@ shuffle, at any data size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.queries import load_table
@@ -249,8 +249,122 @@ FROM bpos
 """
 
 
+PCTS = (50, 90, 99)  # exact order-statistic percentiles reported
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles by ORDER STATISTICS (value
+    at rank ceil(q·n), ties broken by doc_id) — not an interpolating
+    quantile, whose midpoint arithmetic differs between engines, and not
+    approx_percentile, whose sketch merge order is nondeterministic.
+    Integer selection ranks make the result engine-exact.
+
+    Scale: one ranking window partitioned by language — the standard
+    grouped-quantile shape; a skewed language funnels through one
+    partition, at which point the coarse-bucket two-level trick
+    (customer_spend_deciles) applies; corpus-wide percentiles would use
+    it directly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = docs.withColumn("__rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "lang"
+    )
+    # selection rank: ceil(n·p/100); comparing rn·100 against
+    # (n·p+99) - ((n·p+99) % 100) = 100·ceil(n·p/100) keeps the test
+    # integer-only (no DIV/floor-division dialect differences)
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn") * 100
+                == (F.col("__n") * p + 99) - ((F.col("__n") * p + 99) % 100),
+                F.col("n_chars"),
+            )
+        ).alias(f"__raw_p{p}")
+        for p in PCTS
+    ]
+    return (
+        ranked.groupBy("lang")
+        .agg(F.max("__n").alias("n_docs"), *aggs)
+        .select(
+            "lang", F.col("n_docs").cast("long"),
+            *[F.col(f"__raw_p{p}").cast("long").alias(f"p{p}_chars") for p in PCTS],
+        )
+    )
+
+
+DOC_LENGTH_PCT_SQL = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"CAST(MAX(CASE WHEN rn * 100 = (n * {p} + 99) - ((n * {p} + 99) % 100)"
+           f" THEN n_chars END) AS BIGINT) AS p{p}_chars"
+           for p in PCTS)}
+FROM ranked GROUP BY lang
+"""
+
+
+Z_THRESHOLD = 1.5
+
+
+def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length z-scores with an outlier flag — the drift/
+    anomaly gate of a corpus QC dashboard. Mean and variance come from
+    EXACT integer sums (Σx, Σx², n as DECIMAL(38,0) — overflow-safe at
+    any corpus size), turned into doubles by one division each with the
+    identical expression tree in both engines, so even the z-scores
+    hash-match. One tiny per-language aggregate broadcast back over one
+    corpus scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).cast("decimal(38,0)").alias("__s1"),
+        F.sum(x * x).cast("decimal(38,0)").alias("__s2"),
+    )
+    mean = F.col("__s1").cast("double") / F.col("__n").cast("double")
+    var = (
+        (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast("double")
+        / (F.col("__n") * F.col("__n")).cast("double")
+    )
+    z = (F.col("n_chars").cast("double") - mean) / F.sqrt(var)
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+            z.alias("length_z"),
+            (F.abs(z) >= Z_THRESHOLD).alias("is_outlier"),
+        )
+    )
+
+
+LENGTH_OUTLIER_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars,
+       (CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS length_z,
+       abs((CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))) >= {Z_THRESHOLD}
+         AS is_outlier
+FROM documents d JOIN s ON d.lang = s.lang
+"""
+
+
 EXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PCT_SQL),
+    "length_outlier_docs": (length_outlier_docs, LENGTH_OUTLIER_SQL),
     "lang_distribution": (lang_distribution, LANG_DISTRIBUTION_SQL),
     "lang_id_docs": (lang_id_docs, _lang_id_sql()),
     "rolling_fingerprint_docs": (rolling_fingerprint_docs, _rolling_sql()),
