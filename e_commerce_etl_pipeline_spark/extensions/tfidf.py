@@ -38,18 +38,35 @@ from .text import words_col
 
 TOP_TERMS = 3  # terms kept per document
 
+# (table path) -> persisted (doc_id, term, tf) table. The TF table is
+# the shared intermediate of every corpus-frequency operator (its own DF
+# aggregation branch would otherwise re-scan and re-explode the corpus —
+# Spark recomputes diamond lineages — and rare_term_docs reads the same
+# table): one materialization per corpus snapshot, the index-artifact
+# pattern used for shingle sets and IVF centroids.
+_TF_CACHE: dict[str, DataFrame] = {}
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _TF_CACHE.get(sf_dir)
+    if tf is None or tf.sparkSession is not spark:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        tokens = docs.select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("term")
+        ).filter(F.col("term") != "")
+        tf = tokens.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).persist()
+        _TF_CACHE[sf_dir] = tf
+    return tf
+
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TOP_TERMS terms per document by tf × (N+1)/(df+1), with the
     full (tf, df, weight) evidence. Ties break on the term string, so
     the selection is total-ordered and engine-independent."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = term_frequencies(spark, sf_dir)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a 1-row broadcast (scalar-subquery shape — the same
     # pattern as retention_filter's computed cutoff): stays in-plan, no
@@ -116,10 +133,7 @@ def rare_term_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_top_terms; the rarity test is integer-only
     (df * DENOM <= N), so both engines agree exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = term_frequencies(spark, sf_dir)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
