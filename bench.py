@@ -34,6 +34,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "text_stats", "doc_length_percentiles", "length_outlier_docs",
     "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
+    "duplicate_chunk_spans",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
     "embedding_cluster_summary",
     "user_value_median", "multimodal_features",

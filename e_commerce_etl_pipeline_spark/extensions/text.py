@@ -361,8 +361,119 @@ FROM documents d JOIN s ON d.lang = s.lang
 """
 
 
+MIN_CHUNK = 16  # chars — shorter content-defined chunks are noise
+
+
+def duplicate_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate SUBSTRING detection (the published
+    exact-substring-dedup recipe, approximated at chunk granularity):
+    cut every document at its content-defined boundaries (the rolling-
+    hash chunking of rolling_fingerprint_docs — same cut points even
+    when the duplicated text sits at different offsets in each doc),
+    hash each chunk ≥ MIN_CHUNK chars, and report chunks occurring in
+    more than one document. Output per duplicated chunk: how many docs
+    and occurrences carry it, its length, and the id range.
+
+    Scale shape: chunking is a pure map stage (array math per doc); the
+    only shuffle groups by chunk md5 — shuffle rows = chunks (≈ chars /
+    32), payload a hash + 3 ints. Never pairwise: a chunk shared by k
+    docs costs k rows, not k² comparisons."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    base = docs.select("doc_id", "text", codes.alias("codes"))
+
+    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
+
+    def win_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            acc = (acc + F.element_at(F.col("codes"), i + j) * F.lit(p)) % ROLL_MOD
+        return acc
+
+    n = F.size(F.col("codes"))
+    idx = F.when(
+        n >= ROLL_W, F.sequence(F.lit(1), n - (ROLL_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(idx, win_hash)
+    positions = F.filter(
+        F.transform(hashes, lambda h, i: F.when(h % (BOUNDARY_MASK + 1) == 0, i + 1)),
+        lambda x: x.isNotNull(),
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)), positions.cast("array<int>"), F.array(F.length("text"))
+    )
+    with_bounds = base.select("doc_id", "text", bounds.alias("b"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("b")) - 1),
+        lambda i: F.substring(
+            F.col("text"),
+            F.element_at(F.col("b"), i) + 1,
+            F.element_at(F.col("b"), i + 1) - F.element_at(F.col("b"), i),
+        ),
+    )
+    exploded = (
+        with_bounds.select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") >= MIN_CHUNK)
+        .select("doc_id", F.md5(F.col("chunk")).alias("chunk_hash"),
+                F.length("chunk").cast("long").alias("chunk_len"))
+    )
+    return (
+        exploded.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("chunk_len").alias("chunk_len"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _duplicate_chunk_sql() -> str:
+    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
+    terms = " + ".join(f"codes[i + {j}] * {p}" for j, p in enumerate(powers))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+  FROM documents
+), hashed AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, greatest(len(codes) - {ROLL_W - 1}, 0)),
+                        i -> ({terms}) % {ROLL_MOD}) AS hashes
+  FROM base
+), bpos AS (
+  SELECT doc_id, text,
+         list_concat(list_concat(
+           [CAST(0 AS BIGINT)],
+           list_filter(list_transform(generate_series(1, len(hashes)),
+                                      i -> CASE WHEN hashes[i] % {BOUNDARY_MASK + 1} = 0 THEN i END),
+                       x -> x IS NOT NULL)),
+           [CAST(length(text) AS BIGINT)]) AS b
+  FROM hashed
+), chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(b) - 1),
+                               i -> substr(text, CAST(b[i] + 1 AS INT),
+                                           CAST(b[i + 1] - b[i] AS INT)))) AS chunk
+  FROM bpos
+), hashed_chunks AS (
+  SELECT doc_id, md5(chunk) AS chunk_hash,
+         CAST(length(chunk) AS BIGINT) AS chunk_len
+  FROM chunks WHERE length(chunk) >= {MIN_CHUNK}
+)
+SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       MAX(chunk_len) AS chunk_len, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM hashed_chunks
+GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 EXT_QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "duplicate_chunk_spans": (duplicate_chunk_spans, _duplicate_chunk_sql()),
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PCT_SQL),
     "length_outlier_docs": (length_outlier_docs, LENGTH_OUTLIER_SQL),
     "lang_distribution": (lang_distribution, LANG_DISTRIBUTION_SQL),
