@@ -62,22 +62,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Per-query fault isolation: one broken query must never zero the whole
+    # artifact — record its error, keep timing the rest, and always emit
+    # the JSON line (exit code stays 0 so the driver records partial data).
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        # second run: plan + codegen cached -> steady-state execution cost
-        # (cold time is dominated by one-time Catalyst/codegen compile,
-        # which amortizes to zero at scale)
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.time() - t0, 3)
-        print(f"# {name}: cold {timings[name]:.3f}s / warm {warm[name]:.3f}s ({n} rows)",
-              file=sys.stderr)
+        try:
+            fn = queries[name]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            # second run: plan + codegen cached -> steady-state execution
+            # cost (cold time is dominated by one-time Catalyst/codegen
+            # compile, which amortizes to zero at scale)
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            warm[name] = round(time.time() - t0, 3)
+            print(f"# {name}: cold {timings[name]:.3f}s / warm {warm[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
@@ -85,7 +93,10 @@ def main() -> None:
         "queries_warm": warm,
         "total_warm": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,8 +19,24 @@ The 2x probe duplication is the entire overhead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
+
+
+def ts_micros(df: DataFrame, ts_col: str) -> Column:
+    """Microseconds-since-epoch for ``ts_col`` regardless of its physical
+    encoding: TIMESTAMP, TIMESTAMP_NTZ (cast first; session tz is UTC so
+    wall-clock == instant), or already-numeric epoch micros (LongType
+    passes through). Centralizing the dispatch keeps operators robust to
+    parquet writers that emit isAdjustedToUTC=false timestamps."""
+    dtype = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[ts_col]
+    col = F.col(ts_col)
+    if isinstance(dtype, LongType):
+        return col
+    if isinstance(dtype, TimestampNTZType):
+        col = col.cast("timestamp")
+    return F.unix_micros(col)
 
 
 def band_self_join(
@@ -33,7 +49,7 @@ def band_self_join(
     original columns, plus ``gap_us``. The join runs as an equi-join on
     ``keys + [band bucket]`` — broadcast/SMJ eligible, AQE-skew-splittable.
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(df, ts_col)
     bucket = F.floor(us / F.lit(band_us))
     left = df.withColumn("_us", us).withColumn(
         "_probe", F.explode(F.array(bucket, bucket + 1))

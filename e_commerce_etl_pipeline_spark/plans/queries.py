@@ -43,14 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.get_spark (e.g. the driver's own harness session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The driver's events table carries TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
-    # Truncate to microseconds — exactly what DuckDB's reader does — so
-    # both engines see identical instants. Integer div: ns values (~1.7e18)
-    # exceed double's 2^53 exact range, so no float path.
+    # Normalize `ts` across the physical encodings the testdata has shipped
+    # with (ns-as-long, µs TIMESTAMP_NTZ, µs TIMESTAMP_LTZ) so every
+    # downstream expression sees one dtype: session-TZ TIMESTAMP.
+    # - TIMESTAMP(NANOS) + nanosAsLong arrives as long nanos: truncate to
+    #   microseconds — exactly what DuckDB's reader does — so both engines
+    #   see identical instants. Integer div: ns values (~1.7e18) exceed
+    #   double's 2^53 exact range, so no float path.
+    # - TIMESTAMP_NTZ (isAdjustedToUTC=false): cast to TIMESTAMP. The
+    #   session tz is UTC, so the wall-clock field values map to the same
+    #   instants and unix_micros/window arithmetic stay valid.
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
