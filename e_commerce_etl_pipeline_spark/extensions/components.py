@@ -15,20 +15,32 @@ recursion computes, so results hash-match.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.queries import load_table
 
-# (table path) -> persisted (doc_id, canonical_doc_id) assignment.
-# Cluster resolution is an index artifact like the IVF centroids or the
-# stored MinHash signatures (signature_store.py): production materializes
-# it once per corpus snapshot and every downstream selection query reads
-# it. The assignment is a deterministic pure function of the input
-# table, so memoizing per (immutable) table path changes nothing
-# semantically; it saves re-running the pair graph + propagation loop
-# when several queries (cluster listing, canonical selection) share it.
+# (table path) -> read-back DataFrame over the materialized
+# (doc_id, canonical_doc_id) assignment. Cluster resolution is an index
+# artifact like the IVF centroids or the stored MinHash signatures
+# (signature_store.py): production materializes it once per corpus
+# snapshot and every downstream selection query reads it. The assignment
+# is a deterministic pure function of the input table, so memoizing per
+# (immutable) table path changes nothing semantically.
 _CLUSTER_CACHE: dict[str, DataFrame] = {}
+# (table path) -> parquet path of the written-through assignment. The
+# write-through (not just persist) matters: the propagation loop's
+# lineage doubles per iteration (labels feeds both join inputs), so any
+# plan derived from the raw result pays Catalyst analysis cost that
+# grows as 2^iterations — seconds of pure DRIVER time per downstream
+# query even when execution hits the block cache. Reading the artifact
+# back gives every consumer a two-node plan (parquet scan), which is
+# also exactly the production shape: the assignment outlives the job
+# that computed it.
+_CLUSTER_STORE: dict[str, str] = {}
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -46,15 +58,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
       map-side aggregate folded into the same action that materializes
       the new generation. (Decimal sum — exact at any node count, no
       bigint overflow at 100 TB id ranges.)
-    - Old label generations are unpersisted as soon as the next one is
-      materialized, so memory held is O(V + E) regardless of rounds."""
+    - Each generation is ``localCheckpoint``-ed, not merely persisted:
+      ``labels`` feeds BOTH join inputs, so without lineage truncation
+      the logical plan doubles every iteration and Catalyst analysis of
+      anything derived downstream costs O(2^iterations) driver time.
+      Checkpointing keeps every generation's plan a constant-size leaf.
+      (Local mode uses executor-local blocks; a real cluster would set
+      a reliable ``spark.sparkContext.setCheckpointDir`` and use
+      ``.checkpoint()`` so lost executors can rehydrate.)"""
     sym = (
         edges.selectExpr("src", "dst")
         .union(edges.selectExpr("dst AS src", "src AS dst"))
         .persist()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).persist()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     prev_sum = None
 
     for _ in range(max_iter):
@@ -71,12 +89,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes this generation
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -94,14 +111,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTER_CACHE.get(sf_dir)
     if cached is not None and cached.sparkSession is spark:
         return cached
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    path = _CLUSTER_STORE.get(sf_dir)
+    if path is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        out = connected_components(pairs).select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_doc_id"),
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_clusters_"), "assignment.parquet"
+        )
+        out.write.mode("overwrite").parquet(path)
+        _CLUSTER_STORE[sf_dir] = path
+    df = (
+        spark.read.parquet(path)
+        .select("doc_id", "canonical_doc_id")
+        .persist()
     )
-    out = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id")
-    ).persist()
-    _CLUSTER_CACHE[sf_dir] = out
-    return out
+    _CLUSTER_CACHE[sf_dir] = df
+    return df
 
 
 # The oracle recomputes the same pair graph (the minhash_lsh_pairs SQL),
