@@ -43,6 +43,29 @@ def _bucket_expr(keys: Sequence[str], num_buckets: int) -> Column:
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets)).alias("__bucket")
 
 
+_BUCKET_MARKER = "_bucket_count"
+
+
+def _write_bucket_marker(table_path: str, num_buckets: int) -> None:
+    with open(os.path.join(table_path, _BUCKET_MARKER), "w") as f:
+        f.write(str(num_buckets))
+
+
+def _read_bucket_marker(table_path: str) -> int | None:
+    """The table's actual bucket count, recorded at creation. A caller
+    upserting with a different num_buckets than the layout was written
+    with would route batch keys to the wrong bucket partitions and
+    silently DUPLICATE keys — the marker makes the layout authoritative,
+    exactly like a lakehouse table's bucket spec living in its metadata
+    rather than in every writer's config."""
+    p = os.path.join(table_path, _BUCKET_MARKER)
+    try:
+        with open(p) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def write_table(
     spark: SparkSession,
     df: DataFrame,
@@ -60,6 +83,7 @@ def write_table(
         out = drop_null_keys(out, keys)
     out = out.withColumn("__bucket", _bucket_expr(keys, num_buckets))
     out.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+    _write_bucket_marker(table_path, num_buckets)
 
 
 def _any_guard_changed(guard_cols: Sequence[str]) -> Column:
@@ -159,12 +183,14 @@ def upsert(
     per-batch work scales with batch size, not table size. At 100 TB a
     second partition level (e.g. etl_date) would bound file counts further.
     """
-    source_b = source.withColumn("__bucket", _bucket_expr(keys, num_buckets))
-
     if not os.path.exists(table_path):
         write_table(spark, source, table_path, keys, order_col, num_buckets,
                     drop_null_key_rows)
         return
+    # The existing layout's bucket count wins over the caller's argument
+    # (see _read_bucket_marker — a mismatch would silently duplicate keys).
+    num_buckets = _read_bucket_marker(table_path) or num_buckets
+    source_b = source.withColumn("__bucket", _bucket_expr(keys, num_buckets))
 
     touched = [r["__bucket"] for r in source_b.select("__bucket").distinct().collect()]
     target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))

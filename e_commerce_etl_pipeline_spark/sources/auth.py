@@ -107,8 +107,10 @@ class TokenStore:
 
         if not os.path.exists(self.path):
             return None
+        from pyspark.sql import functions as F
+
         rows = (read_upsert_table(self.spark, self.path)
-                .filter(f"platform = '{platform}'").collect())
+                .filter(F.col("platform") == F.lit(platform)).collect())
         if not rows:
             return None
         r = rows[0].asDict()

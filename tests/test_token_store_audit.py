@@ -78,3 +78,14 @@ def test_run_audit_budget_and_alerts(spark, tmp_path):
     assert health["misa"].alert is True         # 50% failure rate > 20%
     assert health["shopee"].alert is False
     assert health["misa"].failure_rate == pytest.approx(0.5)
+
+
+def test_token_store_quoted_platform_name(spark, tmp_path):
+    """load() must treat the platform name as a VALUE, not SQL text — a
+    name containing a quote (or any metacharacter) must round-trip."""
+    store = TokenStore(spark, str(tmp_path / "tokens"))
+    weird = "o'reilly; DROP -- "
+    store.persist(weird, {"access_token": "w1", "expires_at": 9, "refreshed_at": 1})
+    store.persist("plain", {"access_token": "p1", "expires_at": 9, "refreshed_at": 1})
+    assert store.load(weird)["access_token"] == "w1"
+    assert store.load("plain")["access_token"] == "p1"
