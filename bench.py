@@ -42,6 +42,8 @@ HEADLINE = [
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",
     # corpus statistics + cross-modal fusion
     "tfidf_top_terms", "cross_source_overlap", "lexical_semantic_pairs",
+    # corpus prep (cleaning / OOV gate / split)
+    "unicode_clean_docs", "vocab_coverage_docs", "train_val_split",
     # curation
     "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
     "sequence_packing", "cluster_size_histogram",

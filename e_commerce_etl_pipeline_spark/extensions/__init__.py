@@ -15,11 +15,13 @@ from .contamination import EXT_QUERIES as CONTAMINATION_QUERIES  # noqa: F401
 from .quantize import EXT_QUERIES as QUANTIZE_QUERIES  # noqa: F401
 from .tfidf import EXT_QUERIES as TFIDF_QUERIES  # noqa: F401
 from .fusion import EXT_QUERIES as FUSION_QUERIES  # noqa: F401
+from .corpus_prep import EXT_QUERIES as CORPUS_PREP_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
     **TEXT_QUERIES,
     **TFIDF_QUERIES,
+    **CORPUS_PREP_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **QUANTIZE_QUERIES,
