@@ -42,11 +42,14 @@ HEADLINE = [
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",
     # corpus statistics + cross-modal fusion
     "tfidf_top_terms", "cross_source_overlap", "lexical_semantic_pairs",
-    # corpus prep (cleaning / OOV gate / split)
+    # corpus prep (cleaning / OOV gate / split / link stats)
     "unicode_clean_docs", "vocab_coverage_docs", "train_val_split",
+    "domain_link_stats",
     # curation
     "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
     "sequence_packing", "cluster_size_histogram",
+    # end-to-end curation chain (reuses the cluster artifact above)
+    "curated_corpus_summary",
     # range join + semi-structured read-back
     "event_pairs_range_join", "props_json_totals",
     "customer_spend_deciles",

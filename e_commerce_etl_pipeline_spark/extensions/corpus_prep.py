@@ -172,8 +172,151 @@ GROUP BY 1
 """
 
 
+# --- URL / domain statistics ---------------------------------------------
+
+# The synthetic corpus carries no URLs, so the operator runs over a
+# deterministically URL-planted view (same technique as
+# dedup_fuzzy._mutated_corpus's planted near-dups): every 7th document
+# gets a link to one of 13 synthetic domains. Both engines build the
+# identical view with pure string concat, so extraction is exercised on
+# real rows instead of vacuously matching on empty output.
+# Backslash-free patterns on purpose: the strings are embedded in BOTH
+# engines' SQL literals, and Spark SQL processes backslash escapes in
+# string literals while DuckDB does not — '\\s' would reach RE2 intact
+# but reach Java as '\s'-stripped '[^s]'. A literal space class behaves
+# identically everywhere (URLs here terminate at a space or
+# end-of-string; unicode_clean_docs canonicalizes \t\n\r to spaces
+# upstream for raw corpora).
+_URL_RE = "https?://[^ ]+"
+_DOMAIN_RE = "https?://([^/ ]+)"
+
+
+def _linked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" see https://site-"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat("text", planted).alias("text"))
+
+
+def domain_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per linked domain: link count and distinct linking documents —
+    the web-corpus provenance report behind domain allow/block lists and
+    per-domain sampling quotas. Pure map (regex extract + explode) into
+    one domain-keyed hash aggregate; at 100 TB the domain key space is
+    tiny relative to the corpus, so partial aggregation collapses almost
+    everything map-side."""
+    corpus = _linked_corpus(spark, sf_dir)
+    links = corpus.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)")).alias("url"),
+    )
+    return (
+        links.select("doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+DOMAIN_LINK_STATS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' see https://site-' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+), links AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '{_URL_RE}')) AS url
+  FROM corpus
+)
+SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain,
+       COUNT(*) AS n_links,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM links
+GROUP BY 1
+"""
+
+
+# --- end-to-end curated corpus -------------------------------------------
+
+
+def curated_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed query — the flagship
+    "a reference user can run their workload end-to-end" demonstration:
+
+      quality gate (text.quality_score >= curation.QUALITY_THRESHOLD)
+      -> near-dup dedup (drop non-canonical members of
+         components.dedup_clusters — the LSH->connected-components
+         assignment, read from its materialized artifact)
+      -> deterministic train/val assignment (split_col)
+      -> per (split, lang) document and token accounting.
+
+    Composition is where the Spark-first design pays off: every stage is
+    a column program over the same scan, so Catalyst fuses the quality
+    predicate, the dedup anti-join (broadcast — non-keepers ≪ corpus),
+    and the split expression into one pass over documents, with the
+    cluster assignment coming from the write-through parquet artifact
+    rather than re-running pair detection."""
+    from .components import dedup_clusters
+    from .curation import QUALITY_THRESHOLD
+    from .text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_keepers = dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("canonical_doc_id")
+    ).select("doc_id")
+    kept = (
+        docs.filter(quality_score(F.col("text")) >= QUALITY_THRESHOLD)
+        .join(F.broadcast(non_keepers), "doc_id", "left_anti")
+    )
+    return (
+        kept.withColumn("split", split_col(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+def _curated_corpus_sql() -> str:
+    from .components import _dedup_clusters_sql
+    from .curation import QUALITY_THRESHOLD, _quality_sql_expr
+
+    return f"""
+WITH clusters AS ({_dedup_clusters_sql().strip()}),
+non_keepers AS (
+  SELECT doc_id FROM clusters WHERE doc_id <> canonical_doc_id
+), kept AS (
+  SELECT d.* FROM documents d
+  WHERE {_quality_sql_expr()} >= {QUALITY_THRESHOLD}
+    AND d.doc_id NOT IN (SELECT doc_id FROM non_keepers)
+)
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX_BOUND}'
+            THEN 'val' ELSE 'train' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         AS total_tokens
+FROM kept
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES = {
     "unicode_clean_docs": (unicode_clean_docs, UNICODE_CLEAN_DOCS_SQL),
     "vocab_coverage_docs": (vocab_coverage_docs, VOCAB_COVERAGE_DOCS_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
+    "domain_link_stats": (domain_link_stats, DOMAIN_LINK_STATS_SQL),
+    "curated_corpus_summary": (curated_corpus_summary, _curated_corpus_sql()),
 }

@@ -68,3 +68,31 @@ def test_split_summary_accounts_every_doc(spark, sf_dir):
     total = load_table(spark, sf_dir, "documents").count()
     rows = train_val_split(spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in rows) == total
+
+
+def test_domain_link_stats_counts(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.corpus_prep import domain_link_stats
+
+    rows = {r["domain"]: (r["n_links"], r["n_docs"])
+            for r in domain_link_stats(spark, sf_dir).collect()}
+    # every 7th doc links one of 13 deterministic domains; each planted
+    # URL is unique per doc, so n_links == n_docs per domain
+    assert rows and all(links == docs for links, docs in rows.values())
+    assert all(d.startswith("site-") and d.endswith(".example") for d in rows)
+
+
+def test_curated_corpus_summary_consistency(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.corpus_prep import (
+        curated_corpus_summary,
+        train_val_split,
+    )
+
+    summary = curated_corpus_summary(spark, sf_dir).collect()
+    assert {r["split"] for r in summary} == {"train", "val"}
+    # the curated corpus is a subset of the full corpus, split-wise
+    full = {r["split"]: r["n_docs"] for r in train_val_split(spark, sf_dir).collect()}
+    cur = {}
+    for r in summary:
+        cur[r["split"]] = cur.get(r["split"], 0) + r["n_docs"]
+    assert all(cur[s] <= full[s] for s in cur)
+    assert all(r["total_tokens"] > 0 for r in summary)
