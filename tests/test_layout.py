@@ -1,0 +1,69 @@
+"""Time-partitioned layout: pruning is asserted from the physical plan
+and the filesystem, not just claimed."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.operators.layout import (
+    PARTITION_COL,
+    read_time_range,
+    retention_drop_partitions,
+    write_time_partitioned,
+)
+from e_commerce_etl_pipeline_spark.plans.queries import load_table
+
+
+def _partitions(path):
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith(PARTITION_COL + "=")
+    )
+
+
+def test_write_read_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    events = load_table(spark, sf_dir, "events")
+    write_time_partitioned(events, path)
+    days = _partitions(path)
+    assert len(days) > 3, "testdata spans multiple days"
+
+    lo, hi = days[1], days[1]  # a single interior day
+    got = read_time_range(spark, path, lo, hi)
+
+    # 1) plan-level: the predicate must land in PartitionFilters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and PARTITION_COL in plan.split("PartitionFilters", 1)[1][:300]
+
+    # 2) value-level: identical to filtering the unpartitioned source
+    expected = events.filter(F.date_format("ts", "yyyy-MM-dd") == lo)
+    assert got.count() == expected.count() > 0
+    a = {r["event_id"] for r in got.select("event_id").collect()}
+    b = {r["event_id"] for r in expected.select("event_id").collect()}
+    assert a == b
+
+
+def test_one_file_per_day_no_small_file_explosion(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_compact")
+    write_time_partitioned(load_table(spark, sf_dir, "events"), path)
+    for d in os.listdir(path):
+        if not d.startswith(PARTITION_COL + "="):
+            continue
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: repartition must give one file per day, got {len(files)}"
+
+
+def test_retention_drops_only_old_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_retain")
+    events = load_table(spark, sf_dir, "events")
+    write_time_partitioned(events, path)
+    days = _partitions(path)
+    cutoff = days[2]
+    dropped = retention_drop_partitions(spark, path, cutoff)
+    assert dropped == days[:2]
+    assert _partitions(path) == days[2:]
+    # remaining rows are exactly the >= cutoff rows of the source
+    remaining = spark.read.parquet(path).count()
+    expected = events.filter(F.date_format("ts", "yyyy-MM-dd") >= cutoff).count()
+    assert remaining == expected
