@@ -75,3 +75,39 @@ def incremental_upsert_stream(
     else:
         writer = writer.trigger(processingTime="15 minutes")
     return writer.start()
+
+
+def time_partitioned_append_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_path: str,
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Append-stream sink into the date-partitioned layout
+    (operators/layout.py) — the event-firehose complement to the keyed
+    upsert stream: no MERGE semantics, just partition-routed appends
+    that keep range reads pruned and retention metadata-only. Each
+    micro-batch adds at most one file per day it touches (the batch is
+    repartitioned by day inside write_time_partitioned), so file growth
+    is O(batches), bounded by compaction cadence, not O(tasks×days).
+    Exactly-once: file-sink semantics come from the checkpoint — a
+    replayed batch re-runs foreachBatch, so the append is at-least-once;
+    downstream exact dedup (D1/exact_dedup) or an idempotent batch_id
+    partition column is the standard remedy when the source replays."""
+    from ..operators.layout import write_time_partitioned
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_time_partitioned(batch_df, table_path, ts_col, mode="append")
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 minutes")
+    return writer.start()

@@ -67,3 +67,44 @@ def test_retention_drops_only_old_partitions(spark, sf_dir, tmp_path):
     remaining = spark.read.parquet(path).count()
     expected = events.filter(F.date_format("ts", "yyyy-MM-dd") >= cutoff).count()
     assert remaining == expected
+
+
+def test_streaming_append_into_date_partitions(spark, tmp_path):
+    """readStream -> time_partitioned_append_stream: rows land in the
+    right day directories and range reads stay pruned."""
+    from e_commerce_etl_pipeline_spark.streaming.incremental import (
+        time_partitioned_append_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 5), 1.0),
+        (2, datetime.datetime(2024, 1, 2, 6), 2.0),
+        (3, datetime.datetime(2024, 1, 2, 7), 3.0),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = time_partitioned_append_stream(spark, stream, table, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    assert _partitions(table) == ["2024-01-01", "2024-01-02"]
+    day2 = read_time_range(spark, table, "2024-01-02", "2024-01-02")
+    assert {r["event_id"] for r in day2.collect()} == {2, 3}
+
+    # a second micro-batch appends into an existing day without rewriting it
+    spark.createDataFrame(
+        [(4, datetime.datetime(2024, 1, 2, 8), 4.0)], schema
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+    q2 = time_partitioned_append_stream(spark, stream, table, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    day2b = read_time_range(spark, table, "2024-01-02", "2024-01-02")
+    assert {r["event_id"] for r in day2b.collect()} == {2, 3, 4}
