@@ -74,11 +74,12 @@ def write_table(
     order_col: str,
     num_buckets: int = 64,
     drop_null_key_rows: bool = False,
+    tiebreak: Sequence[str] = (),
 ) -> None:
     """Full-load (truncate+insert, K2) writer in the upsert-compatible
     hash-bucketed layout: dedup keep-newest, optional null-key drop (D5,
     MISA parity), bucket by key hash, overwrite."""
-    out = keep_newest(df, keys, order_col)
+    out = keep_newest(df, keys, order_col, tiebreak)
     if drop_null_key_rows:
         out = drop_null_keys(out, keys)
     out = out.withColumn("__bucket", _bucket_expr(keys, num_buckets))
@@ -102,6 +103,7 @@ def resolve_upsert(
     guard_cols: Sequence[str] = (),
     batch_time: Column | None = None,
     drop_null_key_rows: bool = False,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Pure (no I/O) MERGE resolve: returns the post-upsert table contents.
 
@@ -114,9 +116,18 @@ def resolve_upsert(
     before load (misa_crm_loader.py:161-171); other sources keep them
     (itemless orders carry NULL item_id by design) — the key join here is
     null-safe, so replays still match.
+
+    ``tiebreak``: extra columns completing the source's keep-newest total
+    order. Without it, a batch holding two rows with the same key AND the
+    same order_col picks the survivor nondeterministically — and replay
+    idempotence (ST3) then fails in the guard-tie case, because a replay
+    may pick the other row and the changed-guard clause applies it.
+    Batches with a genuinely total (key, order) order don't need it;
+    pytest's property suite (test_upsert_property.py) exercises the
+    ambiguous case with it set.
     """
     cols = target.columns
-    source = keep_newest(source, keys, order_col)
+    source = keep_newest(source, keys, order_col, tiebreak)
     if drop_null_key_rows:
         source = drop_null_keys(source, keys)
 
@@ -174,6 +185,7 @@ def upsert(
     guard_cols: Sequence[str] = (),
     num_buckets: int = 64,
     drop_null_key_rows: bool = False,
+    tiebreak: Sequence[str] = (),
 ) -> None:
     """Apply a guarded keyed upsert batch to a parquet table at ``table_path``.
 
@@ -185,7 +197,7 @@ def upsert(
     """
     if not os.path.exists(table_path):
         write_table(spark, source, table_path, keys, order_col, num_buckets,
-                    drop_null_key_rows)
+                    drop_null_key_rows, tiebreak)
         return
     # The existing layout's bucket count wins over the caller's argument
     # (see _read_bucket_marker — a mismatch would silently duplicate keys).
@@ -195,7 +207,8 @@ def upsert(
     touched = [r["__bucket"] for r in source_b.select("__bucket").distinct().collect()]
     target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))
     resolved = resolve_upsert(target, source_b, keys, order_col, guard_cols,
-                              drop_null_key_rows=drop_null_key_rows)
+                              drop_null_key_rows=drop_null_key_rows,
+                              tiebreak=tiebreak)
 
     # Rewrite only the touched bucket partitions (dynamic partition overwrite).
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
