@@ -7,8 +7,8 @@ from .dedup import (  # noqa: F401
 from .upsert import upsert  # noqa: F401
 from .flatten import explode_outer_prefixed  # noqa: F401
 from .lakehouse import lakehouse_upsert, merge_into_statement  # noqa: F401
-from .layout import (  # noqa: F401
-    read_time_range,
-    retention_drop_partitions,
-    write_time_partitioned,
+from .retention import (  # noqa: F401
+    drop_expired_partitions,
+    read_date_range,
+    write_dated,
 )

@@ -28,15 +28,19 @@ DATE_COL = "etl_date"
 
 
 def write_dated(df: DataFrame, table_path: str, ts_col: str,
-                mode: str = "append") -> None:
+                mode: str = "append", compact: bool = True) -> None:
     """Write with an ``etl_date`` partition column derived from ``ts_col``
-    — the layout every retention-managed staging table uses."""
-    (
-        df.withColumn(DATE_COL, F.to_date(F.col(ts_col)))
-        .write.partitionBy(DATE_COL)
-        .mode(mode)
-        .parquet(table_path)
-    )
+    — the layout every retention-managed staging table uses.
+
+    ``compact`` (default) repartitions by the partition value first so
+    each day lands as ONE file per write: without it every task writes a
+    file into every day it touches — the small-file explosion that at
+    100 TB degrades listing and task bookkeeping long before I/O. Pass
+    False only when the input is already day-clustered."""
+    out = df.withColumn(DATE_COL, F.to_date(F.col(ts_col)))
+    if compact:
+        out = out.repartition(F.col(DATE_COL))
+    out.write.partitionBy(DATE_COL).mode(mode).parquet(table_path)
 
 
 def list_partitions(table_path: str) -> list[datetime.date]:
@@ -68,3 +72,18 @@ def read_dated(spark: SparkSession, table_path: str) -> DataFrame:
     """Read the partitioned table; a filter on ``etl_date`` partition-
     prunes (PartitionFilters in the scan, not a data filter)."""
     return spark.read.option("basePath", table_path).parquet(table_path)
+
+
+def read_date_range(
+    spark: SparkSession, table_path: str, start_date: str, end_date: str
+) -> DataFrame:
+    """Read ``[start_date, end_date]`` (inclusive, 'yyyy-MM-dd'). The
+    predicate binds to the partition column, so the scan lists only the
+    matching day directories — a day's query over a year's table reads
+    ~1/365th of the files (PartitionFilters asserted from the physical
+    plan in tests/test_layout.py, not just claimed)."""
+    df = read_dated(spark, table_path)
+    return df.filter(
+        (F.col(DATE_COL) >= F.lit(start_date).cast("date"))
+        & (F.col(DATE_COL) <= F.lit(end_date).cast("date"))
+    ).drop(DATE_COL)

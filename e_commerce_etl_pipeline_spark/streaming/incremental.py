@@ -85,23 +85,23 @@ def time_partitioned_append_stream(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
-    """Append-stream sink into the date-partitioned layout
-    (operators/layout.py) — the event-firehose complement to the keyed
-    upsert stream: no MERGE semantics, just partition-routed appends
-    that keep range reads pruned and retention metadata-only. Each
-    micro-batch adds at most one file per day it touches (the batch is
-    repartitioned by day inside write_time_partitioned), so file growth
+    """Append-stream sink into the date-partitioned retention layout
+    (operators/retention.py) — the event-firehose complement to the
+    keyed upsert stream: no MERGE semantics, just partition-routed
+    appends that keep range reads pruned and retention metadata-only.
+    Each micro-batch adds at most one file per day it touches (the
+    batch is repartitioned by day inside write_dated), so file growth
     is O(batches), bounded by compaction cadence, not O(tasks×days).
     Exactly-once: file-sink semantics come from the checkpoint — a
     replayed batch re-runs foreachBatch, so the append is at-least-once;
     downstream exact dedup (D1/exact_dedup) or an idempotent batch_id
     partition column is the standard remedy when the source replays."""
-    from ..operators.layout import write_time_partitioned
+    from ..operators.retention import write_dated
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_time_partitioned(batch_df, table_path, ts_col, mode="append")
+        write_dated(batch_df, table_path, ts_col, mode="append")
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
     if checkpoint_dir:
