@@ -1821,6 +1821,127 @@ FROM ranked GROUP BY 1
 """
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-purchase counts — the "customers also bought" aggregate
+    behind retail recommendations (new analytics surface; the reference
+    stops at staging its order items). Per unordered part pair, the
+    number of orders containing both, top-25 with a total order.
+
+    Scale shape: the pair explosion is a lineitem SELF-JOIN on the order
+    key with ``part_a < part_b`` — per-order work is C(items,2), bounded
+    by per-order basket size (≤7 in TPC-H-shaped data, small constants
+    in real carts), NEVER corpus-quadratic. One shuffle co-locates each
+    order's items; the pair aggregate is map-side-combinable. At 100 TB
+    the same plan holds; skew would come only from pathological single
+    orders, which AQE skew-split handles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(25)
+    )
+
+
+COPURCHASE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+MIN_PAIR_SUPPORT = 2  # pairs must co-occur in at least this many orders
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift for co-purchased pairs with minimum support:
+    lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b). Everything stays
+    integer until ONE final division (the cross-engine determinism
+    rule), computed as two exact bigint products cast to double.
+    Per-item order counts are a tiny aggregate joined back to the pair
+    table (vocabulary-bounded → AQE broadcasts it)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    # corpus size as a 1-row broadcast, not a driver action (the same
+    # in-plan scalar shape as tfidf_top_terms / retention_filter)
+    n_df = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    ca = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+), item_counts AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+       CAST(p.n_ab * n.n_orders AS DOUBLE) / CAST(ca.n_item * cb.n_item AS DOUBLE)
+         AS lift
+FROM pair_counts p
+JOIN item_counts ca ON p.part_a = ca.l_partkey
+JOIN item_counts cb ON p.part_b = cb.l_partkey
+CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
@@ -1873,4 +1994,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_pairs_range_join": (event_pairs_range_join, EVENT_PAIRS_RANGE_SQL),
     "props_json_totals": (props_json_totals, PROPS_JSON_SQL),
     "customer_spend_deciles": (customer_spend_deciles, SPEND_DECILES_SQL),
+    "copurchase_pairs": (copurchase_pairs, COPURCHASE_SQL),
+    "basket_lift": (basket_lift, BASKET_LIFT_SQL),
 }

@@ -25,9 +25,10 @@ NESTED_LOOP_OK = {
     "quantized_topk", "quantized_recall_eval",
     # scalar-subquery shapes: the broadcast side is one computed row
     # (retention cutoff / global average balance / mixture multiplier u /
-    # corpus doc count N for the DF-rarity weights)
+    # corpus doc count N for the DF-rarity weights / order count N for
+    # basket lift)
     "retention_filter", "idle_rich_customers", "source_mixture_sample",
-    "tfidf_top_terms", "rare_term_docs",
+    "tfidf_top_terms", "rare_term_docs", "basket_lift",
 }
 
 
