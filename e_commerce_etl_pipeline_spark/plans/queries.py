@@ -1942,6 +1942,63 @@ CROSS JOIN n
 """
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality report every warehouse load
+    starts with (the reference's load_statistics A1/A2 generalized to
+    per-column form): one row per profiled column with row/null/distinct
+    counts and the value range (as strings, so heterogeneous column
+    types share one schema).
+
+    Scale shape: ONE scan computes every column's aggregates
+    simultaneously (a single hash-agg over zero group keys — map-side
+    partials all the way), then a constant-width unpivot. The naive
+    per-column loop would scan the table K times; this never re-reads.
+    COUNT(DISTINCT) over multiple columns in one agg is exact via
+    Spark's expand-rewrite; at extreme widths swap approx_count_distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "__rows AS n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name", "n_rows", "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct", "min_value", "max_value",
+    )
+
+
+TABLE_PROFILE_SQL = f"""
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+         {", ".join(
+             f"COUNT({c}) AS {c}__nn, COUNT(DISTINCT {c}) AS {c}__nd, "
+             f"CAST(MIN({c}) AS VARCHAR) AS {c}__mn, CAST(MAX({c}) AS VARCHAR) AS {c}__mx"
+             for c in PROFILE_COLS)}
+  FROM orders
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, n_rows, {c}__nn AS n_non_null, "
+    f"n_rows - {c}__nn AS n_null, {c}__nd AS n_distinct, "
+    f"{c}__mn AS min_value, {c}__mx AS max_value FROM wide"
+    for c in PROFILE_COLS)}
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
@@ -1996,4 +2053,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "customer_spend_deciles": (customer_spend_deciles, SPEND_DECILES_SQL),
     "copurchase_pairs": (copurchase_pairs, COPURCHASE_SQL),
     "basket_lift": (basket_lift, BASKET_LIFT_SQL),
+    "table_profile_orders": (table_profile_orders, TABLE_PROFILE_SQL),
 }
