@@ -31,8 +31,8 @@ HEADLINE = [
     # TPC-H breadth (multi-join, window rewrite, two-level agg)
     "nation_trade_volume", "returned_revenue_customers",
     "customer_order_distribution", "exclusive_fault_suppliers",
-    # retail basket analytics (bounded pair self-join)
-    "copurchase_pairs", "basket_lift",
+    # retail basket analytics (bounded pair self-join) + profiling
+    "copurchase_pairs", "basket_lift", "table_profile_orders",
     # LLM-pipeline extensions
     "text_stats", "doc_length_percentiles", "length_outlier_docs",
     "exact_dedup", "minhash_lsh_pairs", "simhash_docs",

@@ -161,7 +161,7 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAIN_VAL_SPLIT_SQL = f"""
-SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX_BOUND}'
+SELECT CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < '{VAL_HEX_BOUND}'
             THEN 'val' ELSE 'train' END AS split,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -231,8 +231,8 @@ DOMAIN_LINK_STATS_SQL = f"""
 WITH corpus AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 7 = 0
-                      THEN ' see https://site-' || CAST(doc_id % 13 AS VARCHAR)
-                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                      THEN ' see https://site-' || CAST(doc_id % 13 AS STRING)
+                           || '.example/p/' || CAST(doc_id AS STRING)
                       ELSE '' END AS text
   FROM documents
 ), links AS (
@@ -302,7 +302,7 @@ non_keepers AS (
   WHERE {_quality_sql_expr()} >= {QUALITY_THRESHOLD}
     AND d.doc_id NOT IN (SELECT doc_id FROM non_keepers)
 )
-SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX_BOUND}'
+SELECT CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < '{VAL_HEX_BOUND}'
             THEN 'val' ELSE 'train' END AS split,
        lang,
        COUNT(*) AS n_docs,

@@ -1987,7 +1987,7 @@ WITH wide AS (
   SELECT COUNT(*) AS n_rows,
          {", ".join(
              f"COUNT({c}) AS {c}__nn, COUNT(DISTINCT {c}) AS {c}__nd, "
-             f"CAST(MIN({c}) AS VARCHAR) AS {c}__mn, CAST(MAX({c}) AS VARCHAR) AS {c}__mx"
+             f"CAST(MIN({c}) AS STRING) AS {c}__mn, CAST(MAX({c}) AS STRING) AS {c}__mx"
              for c in PROFILE_COLS)}
   FROM orders
 )

@@ -43,6 +43,8 @@ PORTABLE = [
     "top_suppliers_per_nation",
     "urgent_share_by_flag", "user_running_totals", "user_value_median",
     "user_value_median_pandas",
+    "copurchase_pairs", "basket_lift", "table_profile_orders",
+    "train_val_split",
 ]
 
 
