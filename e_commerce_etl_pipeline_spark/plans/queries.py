@@ -1952,30 +1952,49 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the value range (as strings, so heterogeneous column
     types share one schema).
 
-    Scale shape: ONE scan computes every column's aggregates
-    simultaneously (a single hash-agg over zero group keys — map-side
-    partials all the way), then a constant-width unpivot. The naive
-    per-column loop would scan the table K times; this never re-reads.
-    COUNT(DISTINCT) over multiple columns in one agg is exact via
-    Spark's expand-rewrite; at extreme widths swap approx_count_distinct."""
+    Scale shape — two single-scan aggregates, deliberately split:
+
+    - counts + NATIVE-typed min/max come from one zero-group-key agg
+      (map-side partials; min/max compare in the column's own type, so
+      numeric ranges are numeric — a string-cast-first unpivot would
+      order "99" > "100");
+    - distinct counts come from the unpivoted (column_name, value)
+      shape: group keys are strings, which keeps the whole distinct
+      pipeline in hash aggregation. Folding COUNT(DISTINCT) per column
+      into the wide agg instead triggers Spark's multi-distinct Expand
+      (xK rows) feeding a SortAggregate (string min/max buffers are not
+      hash-agg mutable) — measured 4-5x slower at sf0.1.
+
+    The two tiny results join on column_name. At extreme widths swap
+    count_distinct for approx_count_distinct."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in PROFILE_COLS:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
             F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
         ]
-    wide = orders.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    wide = orders.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in PROFILE_COLS
+        f"'{c}', {c}__nn, {c}__mn, {c}__mx" for c in PROFILE_COLS
     )
-    return wide.selectExpr(
+    base = wide.selectExpr(
         "__rows AS n_rows",
         f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_non_null, n_distinct, min_value, max_value)",
-    ).select(
+        "(column_name, n_non_null, min_value, max_value)",
+    )
+    value_stack = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in PROFILE_COLS
+    )
+    distincts = (
+        orders.selectExpr(
+            f"stack({len(PROFILE_COLS)}, {value_stack}) AS (column_name, value)"
+        )
+        .groupBy("column_name")
+        .agg(F.count_distinct(F.col("value")).alias("n_distinct"))
+    )
+    return base.join(F.broadcast(distincts), "column_name").select(
         "column_name", "n_rows", "n_non_null",
         (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
         "n_distinct", "min_value", "max_value",
