@@ -38,7 +38,7 @@ HEADLINE = [
     "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
     "duplicate_chunk_spans",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
-    "embedding_cluster_summary",
+    "embedding_cluster_summary", "embedding_norm_stats",
     "user_value_median", "multimodal_features",
     # hygiene gates
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",

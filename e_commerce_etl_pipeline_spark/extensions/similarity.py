@@ -711,8 +711,91 @@ GROUP BY a1.cell
 """
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene profile — the vector-side twin of
+    table_profile_orders: per label, how many vectors are zero (norm 0,
+    un-normalizable → cosine NaN downstream) or carry non-finite
+    elements, plus the norm range/mean over the FINITE vectors. Run
+    before any similarity pipeline: one bad batch of NaN embeddings
+    silently poisons every cosine it touches.
+
+    The synthetic corpus is clean, so three pathological vectors are
+    planted deterministically (label -1: all-zero, NaN element, +inf
+    element — same technique as the URL-planted corpus view). NaN/inf
+    vectors are EXCLUDED from min/max/mean: engines disagree on NaN
+    ordering, and a report that says "norm_max: NaN" is useless anyway —
+    the count columns carry the pathology. Mean = exact DECIMAL sum of
+    per-vector norms (each norm itself a deterministic left-associated
+    fold + one sqrt) divided by the finite count, cast once to double."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    zeros = F.array_repeat(F.lit(0.0), DIM)
+    bad = spark.range(1).select(
+        F.lit(1_000_000).alias("vec_id"), F.lit(-1).cast("int").alias("label"),
+        zeros.alias("v"),
+    ).union(spark.range(1).select(
+        F.lit(1_000_001).alias("vec_id"), F.lit(-1).cast("int").alias("label"),
+        F.concat(F.array(F.lit(float("nan"))), F.slice(zeros, 2, DIM - 1)).alias("v"),
+    )).union(spark.range(1).select(
+        F.lit(1_000_002).alias("vec_id"), F.lit(-1).cast("int").alias("label"),
+        F.concat(F.array(F.lit(float("inf"))), F.slice(zeros, 2, DIM - 1)).alias("v"),
+    ))
+    full = emb.union(bad)
+    nonfinite = F.exists(
+        "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    norm = l2_norm(F.col("v"))
+    finite_norm = F.when(~nonfinite, norm)
+    return full.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(nonfinite, 1).otherwise(0)).alias("n_nonfinite"),
+        F.sum(F.when(~nonfinite & (norm == 0.0), 1).otherwise(0)).alias("n_zero"),
+        F.min(finite_norm).alias("norm_min"),
+        F.max(finite_norm).alias("norm_max"),
+        (F.sum(finite_norm.cast("decimal(28,12)")).cast("double")
+         / F.sum(F.when(~nonfinite, 1).otherwise(0))).alias("norm_mean"),
+    )
+
+
+def _zeros_list_sql(prefix: str) -> str:
+    return "[" + ", ".join([prefix] + ["0.0"] * (DIM - 1)) + "]"
+
+
+EMBEDDING_NORM_STATS_SQL = f"""
+WITH full_set AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT 1000000, -1, {_zeros_list_sql('0.0')}
+  UNION ALL
+  SELECT 1000001, -1, {_zeros_list_sql("CAST('nan' AS DOUBLE)")}
+  UNION ALL
+  SELECT 1000002, -1, {_zeros_list_sql("CAST('infinity' AS DOUBLE)")}
+), scored AS (
+  SELECT label,
+         len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
+         {_list_norm_sql('v')} AS norm
+  FROM full_set
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN NOT nonfinite AND norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       MIN(CASE WHEN NOT nonfinite THEN norm END) AS norm_min,
+       MAX(CASE WHEN NOT nonfinite THEN norm END) AS norm_max,
+       CAST(SUM(CASE WHEN NOT nonfinite
+                     THEN CAST(norm AS DECIMAL(28,12)) END) AS DOUBLE)
+         / SUM(CASE WHEN NOT nonfinite THEN 1 ELSE 0 END) AS norm_mean
+FROM scored
+GROUP BY label
+"""
+
+
 EXT_QUERIES = {
     "brute_force_topk": (brute_force_topk, BRUTE_FORCE_TOPK_SQL),
+    "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
     "embedding_cluster_summary": (embedding_cluster_summary,
                                   EMBEDDING_CLUSTER_SUMMARY_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
