@@ -26,8 +26,6 @@ touched partitions is broadcast-eligible and AQE will pick that.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 import uuid
 from collections.abc import Sequence
 
@@ -211,18 +209,23 @@ def upsert(
                               tiebreak=tiebreak)
 
     # Rewrite only the touched bucket partitions (dynamic partition overwrite).
+    # ``resolved`` reads from table_path, so it cannot overwrite table_path
+    # in-place within one job. Eager localCheckpoint materializes the
+    # resolved buckets to executor storage (memory, spilling to local disk)
+    # and truncates lineage, so the subsequent write no longer depends on
+    # the files it replaces — touched-bucket bytes hit the table exactly
+    # once, instead of the old stage-to-temp-parquet round-trip that wrote
+    # them twice (r4 finding #2). On a real cluster an executor loss during
+    # the write re-runs the whole upsert (checkpoint blocks are not
+    # replicated); the operation is idempotent by construction (ST3), so
+    # retry-at-the-orchestrator is the intended recovery path.
+    resolved = resolved.localCheckpoint(eager=True)
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    tmp = tempfile.mkdtemp(prefix="upsert_stage_")
     try:
-        # Stage to a temp dir first: resolved reads from table_path, so we
-        # cannot overwrite it in-place within one job.
-        resolved.write.mode("overwrite").parquet(os.path.join(tmp, "stage"))
-        staged = spark.read.parquet(os.path.join(tmp, "stage"))
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        staged.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
+        resolved.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
-        shutil.rmtree(tmp, ignore_errors=True)
     # The rewrite replaced files under paths the session may hold cached
     # listings for (FileStatusCache has no TTL by default) — invalidate,
     # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
@@ -265,23 +268,20 @@ def compact_buckets(
         return bloated
 
     target = spark.read.parquet(table_path).filter(F.col("__bucket").isin(bloated))
+    # Same single-write pattern as upsert(): eager localCheckpoint breaks
+    # the read-from-table_path dependency so dynamic overwrite is safe
+    # without a second parquet write of the compacted buckets.
+    compacted = target.repartition("__bucket").localCheckpoint(eager=True)
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    tmp = tempfile.mkdtemp(prefix="compact_stage_")
     try:
-        target.repartition("__bucket").write.mode("overwrite").parquet(
-            os.path.join(tmp, "stage")
-        )
-        staged = spark.read.parquet(os.path.join(tmp, "stage"))
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            staged.repartition("__bucket")
-            .write.partitionBy("__bucket")
+            compacted.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(table_path)
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
-        shutil.rmtree(tmp, ignore_errors=True)
     # The rewrite replaced files under paths the session may hold cached
     # listings for (FileStatusCache has no TTL by default) — invalidate,
     # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
