@@ -1821,25 +1821,82 @@ FROM ranked GROUP BY 1
 """
 
 
+# Pathological-basket fence (r4 finding #4): per-order pair output is
+# C(items,2), and ONE degenerate order with 1e5 distinct items yields
+# 5e9 pairs from a single join key — AQE skew-split divides a skewed
+# partition across tasks but cannot shrink one key's cross-product. The
+# fence deterministically truncates each order to its MAX_BASKET_ITEMS
+# lowest part keys (same hard-fence idea as dedup_fuzzy.MAX_PROFILE_DOCS),
+# bounding per-order pair output at C(128,2)=8128. Real carts sit far
+# below the cap (TPC-H baskets are <=7 items), so on sane data the fence
+# is a no-op and the oracle stays exact; the truncation is mirrored in
+# the DuckDB oracle SQL via QUALIFY so both engines see the same baskets.
+MAX_BASKET_ITEMS = 128
+
 # (table path) -> persisted distinct (l_orderkey, l_partkey) table. The
 # basket queries' shared intermediate: each plan references it 2-3 times
 # (pair self-join sides + item counts), and Spark recomputes diamond
 # lineages — without the persist every reference re-scans and re-shuffles
 # the distinct. Same index-artifact pattern as tfidf._TF_CACHE.
 _BASKET_ITEMS_CACHE: dict[str, DataFrame] = {}
+# (table path) -> Observation counting rows dropped by the basket fence.
+# Collected for free during the first action on the shared items table
+# (no extra logging pass); read it after an action via
+# basket_fence_dropped_rows().
+_BASKET_FENCE_OBS: dict[str, "Observation"] = {}
 
 
 def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _BASKET_ITEMS_CACHE.get(sf_dir)
     if items is None or items.sparkSession is not spark:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"basket_fence:{sf_dir}")
+        w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+        # The row_number exchange is on l_orderkey — the same partitioning
+        # the pair self-join needs, so the fence adds a per-order sort but
+        # no extra shuffle, and the persisted table is already co-located
+        # for the join.
         items = (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .observe(
+                obs,
+                F.count(F.when(F.col("__rn") > MAX_BASKET_ITEMS, 1)).alias(
+                    "dropped_rows"
+                ),
+            )
+            .filter(F.col("__rn") <= MAX_BASKET_ITEMS)
+            .drop("__rn")
             .persist()
         )
         _BASKET_ITEMS_CACHE[sf_dir] = items
+        _BASKET_FENCE_OBS[sf_dir] = obs
     return items
+
+
+def basket_fence_dropped_rows(sf_dir: str) -> int | None:
+    """Rows the basket fence truncated, observed during the first action
+    on the shared items table. None if no basket query ran yet for this
+    sf_dir (or the cached table was built by an earlier session)."""
+    obs = _BASKET_FENCE_OBS.get(sf_dir)
+    if obs is None:
+        return None
+    try:
+        return obs.get["dropped_rows"]
+    except Exception:  # noqa: BLE001 — observation not yet collected
+        return None
+
+
+# DuckDB evaluates QUALIFY before DISTINCT within one SELECT, so the
+# distinct must live in a subquery for the row numbers to match Spark's
+# distinct-then-fence order.
+_BASKET_ITEMS_SQL = f"""SELECT l_orderkey, l_partkey
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+    <= {MAX_BASKET_ITEMS}"""
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1853,8 +1910,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by per-order basket size (≤7 in TPC-H-shaped data, small constants
     in real carts), NEVER corpus-quadratic. One shuffle co-locates each
     order's items; the pair aggregate is map-side-combinable. At 100 TB
-    the same plan holds; skew would come only from pathological single
-    orders, which AQE skew-split handles."""
+    the same plan holds; a pathological single order (1e5 items → 5e9
+    pairs from one key, which AQE skew-split cannot shrink) is hard-capped
+    by the MAX_BASKET_ITEMS fence in ``_basket_items``."""
     li = _basket_items(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -1873,9 +1931,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COPURCHASE_SQL = """
+COPURCHASE_SQL = f"""
 WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  {_BASKET_ITEMS_SQL}
 )
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
 FROM items a JOIN items b
@@ -1937,7 +1995,7 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BASKET_LIFT_SQL = f"""
 WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  {_BASKET_ITEMS_SQL}
 ), n AS (
   SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
 ), item_counts AS (
