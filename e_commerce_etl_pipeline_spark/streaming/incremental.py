@@ -16,7 +16,7 @@ same function with a wider window.
 from __future__ import annotations
 
 from collections.abc import Sequence
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,11 +36,20 @@ def run_incremental_batch(
 ) -> int:
     """One micro-batch: filter the source to the lookback window on
     ``order_col`` (ST2 watermark analog), upsert into the table. Returns
-    rows considered. Replay-safe by construction."""
+    rows considered. Replay-safe by construction.
+
+    The lookback-filtered source is scanned ONCE: the batch is pinned with
+    an eager localCheckpoint, so both the count and the upsert read the
+    materialized blocks instead of re-running the source scan (the
+    count-then-act double read was r4 finding #1; same fix shape as
+    pipelines/etl.py's write-then-count)."""
     batch = source
     if lookback is not None:
-        now = now or datetime.utcnow()
+        # naive-UTC to match the column convention (order_col timestamps
+        # are session-tz/UTC); datetime.utcnow() is deprecated
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         batch = source.filter(F.col(order_col) >= F.lit(now - lookback))
+    batch = batch.localCheckpoint(eager=True)
     n = batch.count()
     if n:
         upsert(spark, batch, table_path, keys, order_col, guard_cols)

@@ -48,6 +48,37 @@ def test_run_incremental_batch_with_lookback(spark, tmp_path):
     assert read_upsert_table(spark, path).count() == 1
 
 
+def test_incremental_batch_scans_source_once(spark, tmp_path, monkeypatch):
+    """r4 finding #1: the count-then-act pattern read the lookback-filtered
+    source twice per micro-batch. Now the batch is pinned with an eager
+    localCheckpoint before the count, so the frame handed to upsert no
+    longer contains the source file scan at all — the plan reads the
+    checkpointed blocks (ExistingRDD), proving one source scan per batch."""
+    from e_commerce_etl_pipeline_spark.streaming import incremental as inc
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("o1", "s", ts("2024-06-01T00:00:00"))], SCHEMA
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+
+    seen = {}
+    real_upsert = inc.upsert
+
+    def spy(spark_, batch, *a, **kw):
+        seen["plan"] = batch._jdf.queryExecution().optimizedPlan().toString()
+        return real_upsert(spark_, batch, *a, **kw)
+
+    monkeypatch.setattr(inc, "upsert", spy)
+    n = inc.run_incremental_batch(
+        spark, src, str(tmp_path / "tbl"), ["order_id"], "update_time",
+        lookback=datetime.timedelta(days=30), now=ts("2024-06-15T00:00:00"),
+    )
+    assert n == 1
+    assert "Relation" not in seen["plan"] and "parquet" not in seen["plan"], seen["plan"]
+    assert "ExistingRDD" in seen["plan"] or "LogicalRDD" in seen["plan"], seen["plan"]
+
+
 def test_structured_streaming_foreachbatch_upsert(spark, tmp_path):
     src_dir = tmp_path / "incoming"
     src_dir.mkdir()
