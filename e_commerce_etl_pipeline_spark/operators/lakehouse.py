@@ -47,18 +47,33 @@ ETL_CREATED = "etl_created_at"
 ETL_UPDATED = "etl_updated_at"
 
 
+def _q(name: str) -> str:
+    """Backtick-quote one identifier (column, alias). Embedded backticks
+    double, per Spark's quoting rule — generated SQL must survive
+    reserved words, spaces, and hyphens, exactly like the parquet path
+    does (r4 finding #3)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _q_table(name: str) -> str:
+    """Quote a possibly multi-part table name (catalog.schema.table):
+    each dot-separated part is quoted on its own."""
+    return ".".join(_q(p) for p in name.split("."))
+
+
 def merge_matched_condition(
     order_col: str, guard_cols: Sequence[str] = ()
 ) -> str:
     """The WHEN MATCHED guard as a Spark SQL boolean expression over
     ``tgt``/``src`` aliases. Mirrors resolve_upsert's ``update_applies``:
     stale target, or same version with a changed guard column."""
-    stale = f"tgt.{order_col} IS NULL OR tgt.{order_col} < src.{order_col}"
+    oc = _q(order_col)
+    stale = f"tgt.{oc} IS NULL OR tgt.{oc} < src.{oc}"
     if not guard_cols:
         return stale
-    diffs = " OR ".join(f"NOT (tgt.{g} <=> src.{g})" for g in guard_cols)
+    diffs = " OR ".join(f"NOT (tgt.{_q(g)} <=> src.{_q(g)})" for g in guard_cols)
     return (
-        f"{stale} OR (tgt.{order_col} <=> src.{order_col} AND ({diffs}))"
+        f"{stale} OR (tgt.{oc} <=> src.{oc} AND ({diffs}))"
     )
 
 
@@ -72,22 +87,30 @@ def merge_into_statement(
     batch_time_expr: str = "current_timestamp()",
 ) -> str:
     """Emit the Spark-dialect ``MERGE INTO`` equivalent of
-    ``resolve_upsert`` for a Delta/Iceberg target table."""
-    on = " AND ".join(f"tgt.{k} <=> src.{k}" for k in keys)
+    ``resolve_upsert`` for a Delta/Iceberg target table. All identifiers
+    are backtick-quoted; raises ValueError when no updatable column
+    exists (every column a key or the created_at carve-out) rather than
+    emitting a malformed empty UPDATE SET."""
+    on = " AND ".join(f"tgt.{_q(k)} <=> src.{_q(k)}" for k in keys)
     guard = merge_matched_condition(order_col, guard_cols)
     sets = []
     for c in cols:
         if c in keys or c == ETL_CREATED:
             continue  # keys immutable under match; created_at carve-out
         if c == ETL_UPDATED:
-            sets.append(f"tgt.{c} = {batch_time_expr}")
+            sets.append(f"tgt.{_q(c)} = {batch_time_expr}")
         else:
-            sets.append(f"tgt.{c} = src.{c}")
-    col_list = ", ".join(cols)
-    src_vals = ", ".join(f"src.{c}" for c in cols)
+            sets.append(f"tgt.{_q(c)} = src.{_q(c)}")
+    if not sets:
+        raise ValueError(
+            "MERGE has no updatable columns (every column is a key or "
+            f"{ETL_CREATED}); an insert-only load should use append, not MERGE"
+        )
+    col_list = ", ".join(_q(c) for c in cols)
+    src_vals = ", ".join(f"src.{_q(c)}" for c in cols)
     return (
-        f"MERGE INTO {target_table} AS tgt "
-        f"USING {source_view} AS src "
+        f"MERGE INTO {_q_table(target_table)} AS tgt "
+        f"USING {_q_table(source_view)} AS src "
         f"ON {on} "
         f"WHEN MATCHED AND ({guard}) THEN UPDATE SET {', '.join(sets)} "
         f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_vals})"
@@ -116,6 +139,7 @@ def lakehouse_upsert(
     drop_null_key_rows: bool = False,
     fallback_path: str | None = None,
     num_buckets: int = 64,
+    tiebreak: Sequence[str] = (),
 ) -> str:
     """Apply a guarded keyed-upsert batch through the best available
     backend. Returns the backend used: ``"merge"`` or ``"parquet"``.
@@ -123,8 +147,14 @@ def lakehouse_upsert(
     ``target_table`` is a catalog table name for the MERGE path;
     ``fallback_path`` is the bucketed-parquet table directory used when
     the session has no MERGE-capable catalog (this container).
+
+    ``tiebreak`` completes the source dedup's total order exactly as in
+    ``resolve_upsert``: without it, a batch holding two rows with equal
+    (key, order_col) but different guard values picks a nondeterministic
+    survivor and replay idempotence (ST3) fails in the guard-tie case —
+    on BOTH backends, since the MERGE path dedups the source the same way.
     """
-    batch = keep_newest(source, keys, order_col)
+    batch = keep_newest(source, keys, order_col, tiebreak)
     if drop_null_key_rows:
         batch = drop_null_keys(batch, keys)
 
@@ -148,5 +178,6 @@ def lakehouse_upsert(
     from .upsert import upsert
 
     upsert(spark, batch, fallback_path, keys, order_col, guard_cols,
-           num_buckets=num_buckets, drop_null_key_rows=drop_null_key_rows)
+           num_buckets=num_buckets, drop_null_key_rows=drop_null_key_rows,
+           tiebreak=tiebreak)
     return "parquet"
