@@ -43,6 +43,26 @@ _CLUSTER_CACHE: dict[str, DataFrame] = {}
 _CLUSTER_STORE: dict[str, str] = {}
 
 
+def _drop_checkpoint_blocks(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint generation's storage blocks.
+
+    PySpark exposes no public unpersist for a local checkpoint, but the
+    checkpointed Dataset's analyzed plan is a LogicalRDD leaf wrapping
+    the persisted internal RDD — unpersist that directly. Without this,
+    every generation's blocks (MEMORY_AND_DISK) linger until Python GC +
+    ContextCleaner get around to them, and peak storage grows with
+    iteration count instead of staying O(V+E). The generation is never
+    read again, so the 'cannot be recomputed after unpersisting' warning
+    this triggers is by design. Best-effort: internal API shape, so any
+    failure degrades to the old GC-eventually behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the job
+        pass
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """``edges``: (src, dst) undirected. Returns (node, component) with
     component = min node id reachable. Iterates until no label changes.
@@ -94,6 +114,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        # the previous generation is fully superseded — drop its blocks
+        # now so peak storage stays O(V+E) across iterations
+        _drop_checkpoint_blocks(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break

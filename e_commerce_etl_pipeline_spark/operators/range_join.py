@@ -24,16 +24,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
 
+# Epoch-micros plausibility ceiling: ~year 4000 (64e15 µs). Epoch NANOS
+# for any modern instant are ~1.7e18 — three orders of magnitude above —
+# so one threshold cleanly separates the two encodings.
+_MAX_PLAUSIBLE_MICROS = 64_000_000_000_000_000
+
+
 def ts_micros(df: DataFrame, ts_col: str) -> Column:
     """Microseconds-since-epoch for ``ts_col`` regardless of its physical
     encoding: TIMESTAMP, TIMESTAMP_NTZ (cast first; session tz is UTC so
     wall-clock == instant), or already-numeric epoch micros (LongType
     passes through). Centralizing the dispatch keeps operators robust to
-    parquet writers that emit isAdjustedToUTC=false timestamps."""
+    parquet writers that emit isAdjustedToUTC=false timestamps.
+
+    LongType MUST be epoch MICROseconds. The driver's events table has
+    shipped as TIMESTAMP(NANOS), which a raw ``spark.read`` under
+    ``nanosAsLong`` hands over as epoch NANOS — silently 1000x off in
+    every bucket and gap (``plans.queries.load_table`` normalizes this;
+    raw reads do not). Rather than trust the caller, values above the
+    plausible-micros ceiling (~year 4000) are treated as nanoseconds and
+    divided down, so an unnormalized frame yields correct bands instead
+    of garbage. Integer division — ns magnitudes exceed double's 2^53
+    exact range, so no float path."""
     dtype = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[ts_col]
     col = F.col(ts_col)
     if isinstance(dtype, LongType):
-        return col
+        as_us = F.expr(f"`{ts_col}` div 1000")
+        return F.when(
+            F.abs(col) > F.lit(_MAX_PLAUSIBLE_MICROS), as_us
+        ).otherwise(col)
     if isinstance(dtype, TimestampNTZType):
         col = col.cast("timestamp")
     return F.unix_micros(col)

@@ -12,3 +12,24 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.node: r.component for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_superseded_generations_release_storage(spark):
+    """Peak storage must stay O(V+E) across iterations: every superseded
+    localCheckpoint generation's blocks are dropped explicitly (ADVICE r4)
+    rather than waiting on Python GC + ContextCleaner. After the run, at
+    most the FINAL labels generation may still hold blocks."""
+    sc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in sc.getRDDStorageInfo()}
+
+    # a long chain forces several propagation iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    assert result.count() == 40
+
+    after = [info for info in sc.getRDDStorageInfo() if info.id() not in before]
+    # final generation (1 RDD) may remain; superseded generations and the
+    # symmetrized edge cache must be gone
+    assert len(after) <= 1, [i.id() for i in after]

@@ -60,3 +60,25 @@ def test_band_join_matches_naive(spark):
 def test_band_join_no_cross_key_pairs(spark):
     df = _events(spark, [(1, 0, 0), (2, 1, 10)])
     assert band_self_join(df, ["user_id"], "ts", 60_000_000).count() == 0
+
+
+def test_long_ts_nanos_autocorrected(spark):
+    """ADVICE r4: a LongType ts column holding epoch NANOS (what a raw
+    spark.read of the TIMESTAMP(NANOS) events encoding yields under
+    nanosAsLong) must not produce buckets/gap_us silently 1000x off —
+    values above the plausible-micros ceiling are divided down to micros.
+    """
+    base_us = 1_700_000_000_000_000  # ~2023-11, plausible micros
+    rows_us = [(1, 0, base_us), (1, 1, base_us + 30_000_000),
+               (1, 2, base_us + 90_000_000)]
+    df_us = spark.createDataFrame(rows_us, "user_id long, event_id long, ts long")
+    df_ns = spark.createDataFrame(
+        [(u, i, t * 1000) for u, i, t in rows_us],
+        "user_id long, event_id long, ts long",
+    )
+    band = 60 * 1_000_000
+    got_us = {(r.a.event_id, r.b.event_id, r.gap_us)
+              for r in band_self_join(df_us, ["user_id"], "ts", band).collect()}
+    got_ns = {(r.a.event_id, r.b.event_id, r.gap_us)
+              for r in band_self_join(df_ns, ["user_id"], "ts", band).collect()}
+    assert got_us == got_ns == {(0, 1, 30_000_000), (1, 2, 60_000_000)}
