@@ -16,11 +16,11 @@ projection of the store, never against the text itself.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import fsops
 from ..operators.upsert import read_upsert_table, upsert
 from .dedup_fuzzy import band_keys_from_hexes, shingle_hexes, shingle_set
 
@@ -52,7 +52,7 @@ def update_signature_store(
     """
     fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
     incoming = docs.select("doc_id", "text", fp.alias("text_md5"))
-    if os.path.exists(store_path):
+    if fsops.exists(store_path, spark):
         seen = read_upsert_table(spark, store_path).select("doc_id", "text_md5")
         todo = incoming.join(seen, ["doc_id", "text_md5"], "left_anti")
     else:

@@ -1,0 +1,139 @@
+"""Filesystem shim for the layout operators: Hadoop FileSystem API first.
+
+The dated-retention and bucketed-upsert layouts live wherever the table
+lives — HDFS or S3/GCS on a real cluster, local disk in tests. The
+original implementations used POSIX calls (``os.listdir``,
+``shutil.rmtree``, ``open``), which on a cluster would silently see an
+EMPTY directory for an ``hdfs://`` or ``s3a://`` table and, e.g., drop
+no partitions while reporting success (r4 finding #5). Every operation
+here goes through the JVM's ``org.apache.hadoop.fs.FileSystem`` resolved
+from the session's Hadoop configuration, so the same code handles
+``file:``, ``hdfs:``, ``s3a:`` — exactly the resolution path Spark's own
+readers/writers use.
+
+Fallback policy: when no SparkSession is active (pure-Python unit use),
+POSIX handles LOCAL paths only; a remote scheme without a session raises
+instead of silently missing data — degrade loudly, never wrongly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession | None:
+    return spark or SparkSession.getActiveSession()
+
+
+def _hadoop(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _local_path(path_str: str) -> str:
+    """POSIX fallback: accept plain and ``file:`` paths, refuse remote
+    schemes loudly."""
+    scheme = urlparse(path_str).scheme
+    if scheme and scheme != "file":
+        raise RuntimeError(
+            f"no active SparkSession to reach {path_str!r} through the "
+            "Hadoop FileSystem API, and the POSIX fallback only supports "
+            "local paths"
+        )
+    if path_str.startswith("file://"):
+        return path_str[len("file://"):]
+    if path_str.startswith("file:"):
+        return path_str[len("file:"):]
+    return path_str
+
+
+def exists(path_str: str, spark: SparkSession | None = None) -> bool:
+    spark = _active_spark(spark)
+    if spark is None:
+        return os.path.exists(_local_path(path_str))
+    fs, jpath, _ = _hadoop(spark, path_str)
+    return fs.exists(jpath)
+
+
+def list_child_names(path_str: str, spark: SparkSession | None = None) -> list[str]:
+    """Names (not full paths) of the directory's immediate children."""
+    spark = _active_spark(spark)
+    if spark is None:
+        return sorted(os.listdir(_local_path(path_str)))
+    fs, jpath, _ = _hadoop(spark, path_str)
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath)
+    )
+
+
+def count_files_with_suffix(
+    path_str: str, suffix: str, spark: SparkSession | None = None
+) -> int:
+    spark = _active_spark(spark)
+    if spark is None:
+        return sum(
+            1 for f in os.listdir(_local_path(path_str)) if f.endswith(suffix)
+        )
+    fs, jpath, _ = _hadoop(spark, path_str)
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getPath().getName().endswith(suffix)
+    )
+
+
+def delete(path_str: str, spark: SparkSession | None = None) -> bool:
+    """Recursive delete; True when something was removed."""
+    spark = _active_spark(spark)
+    if spark is None:
+        p = _local_path(path_str)
+        if not os.path.exists(p):
+            return False
+        shutil.rmtree(p)
+        return True
+    fs, jpath, _ = _hadoop(spark, path_str)
+    return fs.delete(jpath, True)
+
+
+def read_text(path_str: str, spark: SparkSession | None = None) -> str | None:
+    """Contents of a small text file (marker/metadata), None if absent."""
+    spark = _active_spark(spark)
+    if spark is None:
+        try:
+            with open(_local_path(path_str)) as f:
+                return f.read()
+        except OSError:
+            return None
+    fs, jpath, jvm = _hadoop(spark, path_str)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_text(
+    path_str: str, content: str, spark: SparkSession | None = None
+) -> None:
+    """Write/overwrite a small text file (marker/metadata)."""
+    spark = _active_spark(spark)
+    if spark is None:
+        with open(_local_path(path_str), "w") as f:
+            f.write(content)
+        return
+    fs, jpath, _ = _hadoop(spark, path_str)
+    out = fs.create(jpath, True)
+    try:
+        out.write(content.encode("utf-8"))
+    finally:
+        out.close()

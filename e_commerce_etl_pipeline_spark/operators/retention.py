@@ -18,11 +18,11 @@ tests/test_retention.py.
 from __future__ import annotations
 
 import datetime
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsops
 
 DATE_COL = "etl_date"
 
@@ -43,27 +43,37 @@ def write_dated(df: DataFrame, table_path: str, ts_col: str,
     out.write.partitionBy(DATE_COL).mode(mode).parquet(table_path)
 
 
-def list_partitions(table_path: str) -> list[datetime.date]:
-    """Partition dates present on disk (directory listing, no data read)."""
+def list_partitions(
+    table_path: str, spark: SparkSession | None = None
+) -> list[datetime.date]:
+    """Partition dates present in the table (directory listing through the
+    Hadoop FileSystem API — works on file:/HDFS/S3A alike, no data read)."""
     out = []
-    for d in os.listdir(table_path):
+    for d in fsops.list_child_names(table_path, spark):
         if d.startswith(f"{DATE_COL}="):
             out.append(datetime.date.fromisoformat(d.split("=", 1)[1]))
     return sorted(out)
 
 
 def drop_expired_partitions(
-    table_path: str, retention_days: int, now: datetime.date | None = None
+    table_path: str,
+    retention_days: int,
+    now: datetime.date | None = None,
+    spark: SparkSession | None = None,
 ) -> list[datetime.date]:
     """Delete partitions older than the retention horizon; returns the
-    dropped dates. Pure directory operations — cost is per expired day,
-    independent of table size."""
+    dropped dates. Pure directory operations through the Hadoop
+    FileSystem API — cost is per expired day, independent of table size,
+    and the same code path works on HDFS/S3A where the 100 TB layout
+    actually lives."""
     now = now or datetime.date.today()
     cutoff = now - datetime.timedelta(days=retention_days)
     dropped = []
-    for day in list_partitions(table_path):
+    for day in list_partitions(table_path, spark):
         if day < cutoff:
-            shutil.rmtree(os.path.join(table_path, f"{DATE_COL}={day.isoformat()}"))
+            fsops.delete(
+                f"{table_path}/{DATE_COL}={day.isoformat()}", spark
+            )
             dropped.append(day)
     return dropped
 

@@ -25,13 +25,13 @@ touched partitions is broadcast-eligible and AQE will pick that.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsops
 from .dedup import drop_null_keys, keep_newest
 
 ETL_COLS = ("etl_batch_id", "etl_created_at", "etl_updated_at", "etl_source")
@@ -44,23 +44,27 @@ def _bucket_expr(keys: Sequence[str], num_buckets: int) -> Column:
 _BUCKET_MARKER = "_bucket_count"
 
 
-def _write_bucket_marker(table_path: str, num_buckets: int) -> None:
-    with open(os.path.join(table_path, _BUCKET_MARKER), "w") as f:
-        f.write(str(num_buckets))
+def _write_bucket_marker(
+    table_path: str, num_buckets: int, spark: SparkSession | None = None
+) -> None:
+    fsops.write_text(f"{table_path}/{_BUCKET_MARKER}", str(num_buckets), spark)
 
 
-def _read_bucket_marker(table_path: str) -> int | None:
+def _read_bucket_marker(
+    table_path: str, spark: SparkSession | None = None
+) -> int | None:
     """The table's actual bucket count, recorded at creation. A caller
     upserting with a different num_buckets than the layout was written
     with would route batch keys to the wrong bucket partitions and
     silently DUPLICATE keys — the marker makes the layout authoritative,
     exactly like a lakehouse table's bucket spec living in its metadata
-    rather than in every writer's config."""
-    p = os.path.join(table_path, _BUCKET_MARKER)
+    rather than in every writer's config. Read/written through the
+    Hadoop FileSystem API so the layout works on HDFS/S3A, not just
+    local disk."""
+    text = fsops.read_text(f"{table_path}/{_BUCKET_MARKER}", spark)
     try:
-        with open(p) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        return int(text.strip()) if text is not None else None
+    except ValueError:
         return None
 
 
@@ -82,7 +86,7 @@ def write_table(
         out = drop_null_keys(out, keys)
     out = out.withColumn("__bucket", _bucket_expr(keys, num_buckets))
     out.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
-    _write_bucket_marker(table_path, num_buckets)
+    _write_bucket_marker(table_path, num_buckets, spark)
 
 
 def _any_guard_changed(guard_cols: Sequence[str]) -> Column:
@@ -193,13 +197,13 @@ def upsert(
     per-batch work scales with batch size, not table size. At 100 TB a
     second partition level (e.g. etl_date) would bound file counts further.
     """
-    if not os.path.exists(table_path):
+    if not fsops.exists(table_path, spark):
         write_table(spark, source, table_path, keys, order_col, num_buckets,
                     drop_null_key_rows, tiebreak)
         return
     # The existing layout's bucket count wins over the caller's argument
     # (see _read_bucket_marker — a mismatch would silently duplicate keys).
-    num_buckets = _read_bucket_marker(table_path) or num_buckets
+    num_buckets = _read_bucket_marker(table_path, spark) or num_buckets
     source_b = source.withColumn("__bucket", _bucket_expr(keys, num_buckets))
 
     touched = [r["__bucket"] for r in source_b.select("__bucket").distinct().collect()]
@@ -257,11 +261,12 @@ def compact_buckets(
     Returns the bucket ids compacted. Run it opportunistically (e.g.
     after a burst of appends), exactly like lakehouse OPTIMIZE."""
     bloated: list[int] = []
-    for d in os.listdir(table_path):
+    for d in fsops.list_child_names(table_path, spark):
         if not d.startswith("__bucket="):
             continue
-        full = os.path.join(table_path, d)
-        n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+        n = fsops.count_files_with_suffix(
+            f"{table_path}/{d}", ".parquet", spark
+        )
         if n > max_files_per_bucket:
             bloated.append(int(d.split("=", 1)[1]))
     if not bloated:
