@@ -1890,13 +1890,16 @@ def basket_fence_dropped_rows(sf_dir: str) -> int | None:
         return None
 
 
-# DuckDB evaluates QUALIFY before DISTINCT within one SELECT, so the
-# distinct must live in a subquery for the row numbers to match Spark's
-# distinct-then-fence order.
-_BASKET_ITEMS_SQL = f"""SELECT l_orderkey, l_partkey
-  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
-    <= {MAX_BASKET_ITEMS}"""
+# Portable fence SQL (this string must parse in BOTH Spark SQL and
+# DuckDB — the sql-interface tests run it through Spark): a plain
+# ROW_NUMBER subquery, not QUALIFY (Spark has no QUALIFY), with the
+# distinct in its own inner subquery so the row numbers are computed
+# over deduped pairs exactly like the DataFrame plan.
+_BASKET_ITEMS_SQL = f"""SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) d
+  ) f WHERE rn <= {MAX_BASKET_ITEMS}"""
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
