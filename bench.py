@@ -59,6 +59,11 @@ HEADLINE = [
 
 
 def _bench_set(spark, queries, sf_dir, names, timings, warm, errors) -> None:
+    # SPARK_GRAFT_BENCH_WARM_RUNS > 1 takes the MIN of N warm repeats —
+    # one warm sample can land on a GC pause / ContextCleaner burst and
+    # read 10-30x slow (observed at sf1). Default stays 1 so the
+    # headline series remains comparable across rounds.
+    warm_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "1")))
     # Per-query fault isolation: one broken query must never zero the whole
     # artifact — record its error, keep timing the rest, and always emit
     # the JSON line (exit code stays 0 so the driver records partial data).
@@ -68,12 +73,16 @@ def _bench_set(spark, queries, sf_dir, names, timings, warm, errors) -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
-            # second run: plan + codegen cached -> steady-state execution
+            # warm runs: plan + codegen cached -> steady-state execution
             # cost (cold time is dominated by one-time Catalyst/codegen
             # compile, which amortizes to zero at scale)
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            warm[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(warm_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            warm[name] = round(best, 3)
             print(f"# {name}: cold {timings[name]:.3f}s / warm {warm[name]:.3f}s ({n} rows)",
                   file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — isolation is the point

@@ -1,0 +1,161 @@
+"""Scale-multiplied testdata generator: sfN -> sf(N*m) by
+replicate-with-mutation (no network in this sandbox, so DuckDB's dbgen
+is unavailable; this reproduces the SHAPE of a bigger scale factor from
+the driver's own distributions).
+
+Method: m copies of every fact table with per-copy key offsets
+(offset = copy * (max_key + 1)), applied consistently on both sides of
+every FK, so join fan-outs, group cardinalities per key, and value
+distributions are exactly those of the source corpus — the same way
+TPC-H itself scales (fixed dimension domains, scaled key spaces):
+
+- region/nation: fixed (as in TPC-H — 5/25 rows at every sf).
+- customer/supplier/part/orders/lineitem: key-offset copies; attribute
+  columns untouched (distribution-preserving).
+- events: event_id/user_id offset; ts untouched — total time density
+  grows m-fold but PER-USER density (what sessionize/range-join cost
+  depends on) is unchanged, like real traffic growth by new users.
+- documents: doc_id offset; for copy i>0 every 3rd word is salted with
+  a copy token. Every 3-gram shingle contains >=1 salted word, so
+  cross-copy Jaccard ~ 0 and the near-dup graph does NOT collapse the
+  copies into 10-clones clusters — each copy contributes its own
+  (planted) near-dup structure, scaling the dedup workload linearly.
+- embeddings: vec_id offset; deterministic per-copy linear perturbation
+  of each component (preserves norm order-of-magnitude, de-duplicates
+  neighbors across copies).
+
+Usage: python tools/gen_scale.py SRC_DIR DST_DIR MULTIPLIER
+e.g.:  python tools/gen_scale.py /root/testdata/sf0.1 .localdata/sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _copies(spark, m: int):
+    return spark.range(m).select(F.col("id").cast("long").alias("__copy"))
+
+
+def _offset(col: str, key_space: int) -> F.Column:
+    return (F.col(col) + F.col("__copy") * F.lit(key_space)).alias(col)
+
+
+def scale_table(
+    df: DataFrame,
+    m: int,
+    key_spaces: dict[str, int],
+    spark,
+) -> DataFrame:
+    """Cross-join with the copy index and offset every key column by
+    copy * key_space. Non-key columns pass through unchanged."""
+    out_cols = []
+    for c in df.columns:
+        if c in key_spaces:
+            out_cols.append(_offset(c, key_spaces[c]))
+        else:
+            out_cols.append(F.col(c))
+    return df.crossJoin(F.broadcast(_copies(spark, m))).select(*out_cols, "__copy")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf1"
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark("gen-scale")
+    os.makedirs(dst, exist_ok=True)
+
+    def read(name):
+        return spark.read.parquet(f"{src}/{name}.parquet")
+
+    def write(df, name, parts):
+        df.drop("__copy").repartition(parts).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+        print(f"wrote {name}", flush=True)
+
+    # key spaces = max_key + 1, read once from the source corpus
+    def key_space(name, col):
+        return read(name).agg(F.max(col)).collect()[0][0] + 1
+
+    ko = key_space("orders", "o_orderkey")
+    kc = key_space("customer", "c_custkey")
+    kp = key_space("part", "p_partkey")
+    ks = key_space("supplier", "s_suppkey")
+    kd = key_space("documents", "doc_id")
+    kv = key_space("embeddings", "vec_id")
+    ke = key_space("events", "event_id")
+    ku = key_space("events", "user_id")
+
+    # fixed dimensions: straight copies
+    for name in ("region", "nation"):
+        read(name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"wrote {name}", flush=True)
+
+    write(scale_table(read("customer"), m, {"c_custkey": kc}, spark),
+          "customer", 4)
+    write(scale_table(read("supplier"), m, {"s_suppkey": ks}, spark),
+          "supplier", 1)
+    write(scale_table(read("part"), m, {"p_partkey": kp}, spark), "part", 4)
+    write(
+        scale_table(read("orders"), m, {"o_orderkey": ko, "o_custkey": kc}, spark),
+        "orders", 8,
+    )
+    write(
+        scale_table(
+            read("lineitem"), m,
+            {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}, spark,
+        ),
+        "lineitem", 16,
+    )
+    write(
+        scale_table(read("events"), m, {"event_id": ke, "user_id": ku}, spark),
+        "events", 8,
+    )
+
+    # documents: salt every 3rd word for copies > 0 so no 3-gram shingle
+    # survives across copies (see module docstring)
+    docs = scale_table(read("documents"), m, {"doc_id": kd}, spark)
+    salted_words = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w, i: F.when(
+            (F.col("__copy") > 0) & (i % 3 == 0),
+            F.concat(w, F.lit("x"), F.col("__copy").cast("string")),
+        ).otherwise(w),
+    )
+    docs = docs.withColumn("text", F.array_join(salted_words, " ")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    write(docs, "documents", 8)
+
+    # embeddings: deterministic per-copy, per-position perturbation
+    emb = scale_table(read("embeddings"), m, {"vec_id": kv}, spark)
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x * (F.lit(1.0) + F.col("__copy") * F.lit(0.003))
+            + (
+                F.col("__copy").cast("double")
+                * ((F.pmod(F.col("vec_id") + i, F.lit(13)) - F.lit(6.0)))
+                * F.lit(0.002)
+            )
+        ).cast("float"),
+    )
+    write(emb.withColumn("embedding", perturbed), "embeddings", 4)
+
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"):
+        n = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        print(f"{name}: {n}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
