@@ -15,32 +15,22 @@ recursion computes, so results hash-match.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.queries import load_table
+from ..operators import index_store
 
-# (table path) -> read-back DataFrame over the materialized
-# (doc_id, canonical_doc_id) assignment. Cluster resolution is an index
-# artifact like the IVF centroids or the stored MinHash signatures
-# (signature_store.py): production materializes it once per corpus
-# snapshot and every downstream selection query reads it. The assignment
-# is a deterministic pure function of the input table, so memoizing per
-# (immutable) table path changes nothing semantically.
-_CLUSTER_CACHE: dict[str, DataFrame] = {}
-# (table path) -> parquet path of the written-through assignment. The
-# write-through (not just persist) matters: the propagation loop's
-# lineage doubles per iteration (labels feeds both join inputs), so any
-# plan derived from the raw result pays Catalyst analysis cost that
-# grows as 2^iterations — seconds of pure DRIVER time per downstream
-# query even when execution hits the block cache. Reading the artifact
-# back gives every consumer a two-node plan (parquet scan), which is
-# also exactly the production shape: the assignment outlives the job
-# that computed it.
-_CLUSTER_STORE: dict[str, str] = {}
+# The (doc_id, canonical_doc_id) assignment is a write-through index
+# artifact (index_store.stored_df at <documents>/_index/dedup_clusters):
+# cluster resolution is materialized once per corpus SNAPSHOT (content
+# fingerprint — a mutated table re-resolves) and every downstream
+# selection query, in any session, reads it. The write-through (not just
+# persist) matters twice over: the propagation loop's lineage doubles
+# per iteration (labels feeds both join inputs), so any plan derived
+# from the raw result pays Catalyst analysis cost that grows as
+# 2^iterations — reading the artifact back gives every consumer a
+# two-node plan (parquet scan) — and the artifact outliving the job that
+# computed it is exactly the production index lifecycle.
 
 
 def _drop_checkpoint_blocks(df: DataFrame) -> None:
@@ -131,30 +121,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear (singletons keep themselves trivially)."""
     from .dedup_fuzzy import minhash_lsh_pairs
 
-    cached = _CLUSTER_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
-    path = _CLUSTER_STORE.get(sf_dir)
-    if path is None:
+    def build() -> DataFrame:
         pairs = minhash_lsh_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        out = connected_components(pairs).select(
+        return connected_components(pairs).select(
             F.col("node").alias("doc_id"),
             F.col("component").alias("canonical_doc_id"),
         )
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_clusters_"), "assignment.parquet"
-        )
-        out.write.mode("overwrite").parquet(path)
-        _CLUSTER_STORE[sf_dir] = path
-    df = (
-        spark.read.parquet(path)
-        .select("doc_id", "canonical_doc_id")
-        .persist()
+
+    return index_store.stored_df(
+        spark, index_store.table_dir(sf_dir, "documents"),
+        "dedup_clusters", build,
     )
-    _CLUSTER_CACHE[sf_dir] = df
-    return df
 
 
 # The oracle recomputes the same pair graph (the minhash_lsh_pairs SQL),

@@ -73,23 +73,21 @@ def _ngram_sql(t: str = "text", n: int = NGRAM) -> str:
     )
 
 
-# (table path) -> persisted exploded (doc_id, gram-md5) table; the
-# shingling/hashing map stage feeds three aggregations (benchmark set,
-# per-doc totals, hit counts), so it is materialized once per table path
-# — same index-artifact pattern as the dedup shingle caches.
-_GRAM_CACHE: dict[str, DataFrame] = {}
-
-
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _GRAM_CACHE.get(sf_dir)
-    if g is None or g.sparkSession is not spark:
-        docs = load_table(spark, sf_dir, "documents")
-        g = docs.select(
+    """Persisted exploded (doc_id, gram-md5) table; the shingling/hashing
+    map stage feeds three aggregations (benchmark set, per-doc totals,
+    hit counts), so it is materialized once per corpus snapshot —
+    fingerprint-keyed like the dedup shingle caches (index_store, r6)."""
+    from ..operators import index_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    return index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "documents"), "contamination_grams",
+        lambda: docs.select(
             "doc_id",
             F.explode(F.array_distinct(ngram_hashes(F.col("text")))).alias("g"),
-        ).persist()
-        _GRAM_CACHE[sf_dir] = g
-    return g
+        ),
+    )
 
 
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

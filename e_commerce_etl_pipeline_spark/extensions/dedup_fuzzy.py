@@ -32,17 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import index_store
 from ..plans.queries import load_table
 
 N_HASHES = 8
 BAND_SIZE = 4  # -> 2 bands; P(candidate) ~ 1-(1-j^4)^2, high for j >= 0.7
 JACCARD_THRESHOLD = 0.7
-
-# (table path) -> persisted shingle-set DataFrame; see minhash_lsh_pairs
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
-# same, for the REAL (unmutated) corpus with source column attached;
-# see cross_source_overlap
-_REAL_SHINGLE_CACHE: dict[str, DataFrame] = {}
 
 
 def shingles_from_words(words: Column) -> Column:
@@ -207,21 +202,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingling + the per-shingle md5 pass is the expensive map stage; it
     # is referenced three times below (banding, verify-a, verify-b) and is
     # exactly what the incremental signature store persists at rest
-    # (signature_store.py), so it is persisted once per table path and
-    # reused across invocations — the in-session analog of serving from
-    # the stored signature table. (Per-invocation persist would also leak
-    # a new cached copy each call.)
-    sh = _SHINGLE_CACHE.get(sf_dir)
-    if sh is None or sh.sparkSession is not spark:
-        corpus = _mutated_corpus(spark, sf_dir)
-        sh = (
-            corpus.select(
-                "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
-            )
-            .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles"))
-            .persist()
+    # (signature_store.py), so it is persisted once per corpus snapshot
+    # (fingerprint-keyed, index_store.cached_df) and reused across
+    # invocations — the in-session analog of serving from the stored
+    # signature table. (Per-invocation persist would also leak a new
+    # cached copy each call.)
+    sh = index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "documents"), "mutated_shingles",
+        lambda: _mutated_corpus(spark, sf_dir)
+        .select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
         )
-        _SHINGLE_CACHE[sf_dir] = sh
+        .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles")),
+    )
     # Narrow join payload: the band self-join carries only (doc_id, band);
     # the (large) shingle arrays re-attach afterwards by key. At corpus
     # scale this keeps the candidate-generation shuffle tiny.
@@ -401,22 +394,23 @@ def real_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, source, shingles) over the REAL corpus —
     shared by cross_source_overlap and fusion.lexical_semantic_pairs,
     cached per table path like the mutated-corpus shingle set above."""
-    sh = _REAL_SHINGLE_CACHE.get(sf_dir)
-    if sh is None or sh.sparkSession is not spark:
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
-        sh = (
+        return (
             docs.select(
                 "doc_id", "source",
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w"),
             )
             .select("doc_id", "source",
                     shingles_from_words(F.col("__w")).alias("shingles"))
-            .persist()
         )
-        _REAL_SHINGLE_CACHE[sf_dir] = sh
-    return sh
+
+    return index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "documents"),
+        "real_shingles", build,
+    )
 
 
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

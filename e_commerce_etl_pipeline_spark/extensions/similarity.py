@@ -32,6 +32,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import index_store
 from ..plans.queries import load_table
 
 DIM = 64
@@ -130,20 +131,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-_N_CACHE: dict[str, int] = {}
-_CENT_CACHE: dict[tuple[str, int], DataFrame] = {}
+def _emb_table(sf_dir: str) -> str:
+    return index_store.table_dir(sf_dir, "embeddings")
 
 
 def corpus_count(spark: SparkSession, sf_dir: str) -> int:
     """Corpus size as a PLANNING statistic (feeds lsh_bits/ivf_cells).
-    Memoized per table path for the session — the same role as Spark's
-    own catalog statistics cache; ann_recall_eval would otherwise count
-    the identical immutable table three times per invocation."""
-    n = _N_CACHE.get(sf_dir)
-    if n is None:
-        n = load_table(spark, sf_dir, "embeddings").count()
-        _N_CACHE[sf_dir] = n
-    return n
+    Memoized per (table path, content fingerprint) — the same role as
+    Spark's own catalog statistics cache; ann_recall_eval would
+    otherwise count the identical table three times per invocation, and
+    the fingerprint key means a mutated table re-counts (r6)."""
+    return index_store.cached_value(
+        spark, _emb_table(sf_dir), "corpus_count",
+        lambda: load_table(spark, sf_dir, "embeddings").count(),
+    )
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,58 +466,38 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
 
 def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF centroids (cell, cv, cnorm): k rows (≤ MAX_CELLS) —
-    persisted AND memoized per (table path, k). Centroids are an index
-    artifact — production trains them once and serves every query from
-    the trained index — so repeat invocations against the same immutable
-    table reuse the trained centroids instead of re-running the seed
-    rank + Lloyd pass. Still a pure deterministic function of the input
-    table, so oracle parity is unaffected."""
-    emb = _emb(spark, sf_dir)
-    k = ivf_cells(corpus_count(spark, sf_dir))
-    cents = _CENT_CACHE.get((sf_dir, k))
-    if cents is None or cents.sparkSession is not spark:
-        cents = _kmeans_centroids(emb, k).persist()
-        _CENT_CACHE[(sf_dir, k)] = cents
-    return cents
-
-
-# (table path) -> read-back / parquet path of the materialized corpus
-# assignment (vec_id, v, norm, cell) — the INVERTED LISTS of the IVF
-# index. Production IVF stores these once at index-build time and every
-# query probes the stored lists; recomputing the n×k nearest-centroid
-# assignment per query (the pre-r5 shape) re-pays the single most
-# expensive map stage of the family. sf1 measured it as the #1 scaling
-# hotspot (embedding_cluster_summary 11.2 s warm, ivf_topk 9.1 s) —
-# both now read this artifact. Same write-through pattern as
-# extensions/components._CLUSTER_STORE: consumers get a 2-node parquet
-# scan plan, and the artifact is a pure deterministic function of the
-# immutable input table, so oracle parity is unaffected.
-_ASSIGN_CACHE: dict[str, DataFrame] = {}
-_ASSIGN_STORE: dict[str, str] = {}
+    a write-through index artifact at ``<table>/_index/ivf_centroids``
+    (r6; index_store). Centroids are trained once per corpus SNAPSHOT
+    (content fingerprint) and served to every query and every process;
+    a mutated table retrains. k is a pure function of the table's row
+    count, so the fingerprint key subsumes it. Still a deterministic
+    function of the input table, so oracle parity is unaffected."""
+    return index_store.stored_df(
+        spark, _emb_table(sf_dir), "ivf_centroids",
+        lambda: _kmeans_centroids(
+            _emb(spark, sf_dir), ivf_cells(corpus_count(spark, sf_dir))
+        ),
+    )
 
 
 def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF index's inverted lists: (vec_id, v, norm, cell),
-    materialized once per table path."""
-    import os
-    import tempfile
-
-    cached = _ASSIGN_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
-    path = _ASSIGN_STORE.get(sf_dir)
-    if path is None:
-        emb = _emb(spark, sf_dir)
-        cents = trained_centroids(spark, sf_dir)
-        out = _assign_nearest(emb, cents)
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_ivf_"), "assignment.parquet"
-        )
-        out.write.mode("overwrite").parquet(path)
-        _ASSIGN_STORE[sf_dir] = path
-    df = spark.read.parquet(path).persist()
-    _ASSIGN_CACHE[sf_dir] = df
-    return df
+    """The IVF index's inverted lists: (vec_id, v, norm, cell) — the
+    materialized corpus assignment. Production IVF stores these once at
+    index-build time and every query probes the stored lists;
+    recomputing the n×k nearest-centroid assignment per query (the
+    pre-r5 shape) re-pays the single most expensive map stage of the
+    family (sf1 measured: embedding_cluster_summary 11.2 s warm → 0.36 s
+    reading the artifact). Since r6 the artifact lives NEXT TO the table
+    (``<table>/_index/ivf_assignment/fp=<fingerprint>``) through the
+    Hadoop FS API — cross-session reuse, mutation-keyed freshness,
+    automatic GC of superseded generations (index_store.stored_df);
+    consumers still get a two-node parquet-scan plan."""
+    return index_store.stored_df(
+        spark, _emb_table(sf_dir), "ivf_assignment",
+        lambda: _assign_nearest(
+            _emb(spark, sf_dir), trained_centroids(spark, sf_dir)
+        ),
+    )
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,32 +33,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import index_store
 from ..plans.queries import load_table
 from .text import words_col
 
 TOP_TERMS = 3  # terms kept per document
 
-# (table path) -> persisted (doc_id, term, tf) table. The TF table is
-# the shared intermediate of every corpus-frequency operator (its own DF
-# aggregation branch would otherwise re-scan and re-explode the corpus —
-# Spark recomputes diamond lineages — and rare_term_docs reads the same
-# table): one materialization per corpus snapshot, the index-artifact
-# pattern used for shingle sets and IVF centroids.
-_TF_CACHE: dict[str, DataFrame] = {}
-
 
 def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf = _TF_CACHE.get(sf_dir)
-    if tf is None or tf.sparkSession is not spark:
+    """Persisted (doc_id, term, tf) table — the shared intermediate of
+    every corpus-frequency operator (its own DF aggregation branch would
+    otherwise re-scan and re-explode the corpus — Spark recomputes
+    diamond lineages — and rare_term_docs reads the same table): one
+    materialization per corpus SNAPSHOT, fingerprint-keyed so a mutated
+    documents table rebuilds (index_store.cached_df, r6)."""
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         tokens = docs.select(
             "doc_id", F.explode(words_col(F.col("text"))).alias("term")
         ).filter(F.col("term") != "")
-        tf = tokens.groupBy("doc_id", "term").agg(
+        return tokens.groupBy("doc_id", "term").agg(
             F.count(F.lit(1)).alias("tf")
-        ).persist()
-        _TF_CACHE[sf_dir] = tf
-    return tf
+        )
+
+    return index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "documents"),
+        "term_frequencies", build,
+    )
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,55 @@ def count_files_with_suffix(
     )
 
 
+def list_file_stats(
+    path_str: str, spark: SparkSession | None = None
+) -> list[tuple[str, int, int]]:
+    """(relative path, size bytes, mtime ms) of every DATA file under
+    ``path_str``, recursive, sorted. Hidden entries (any path component
+    starting with ``_`` or ``.``) are skipped at every level — the same
+    visibility rule Spark's file index applies, so index artifacts under
+    ``_index/`` and commit markers never perturb the listing. This is the
+    metadata source for content fingerprints (index_store): names+sizes+
+    mtimes change on any rewrite, which is exactly the signal a lakehouse
+    snapshot id provides. Missing path -> empty list."""
+    spark = _active_spark(spark)
+    if spark is None:
+        base = _local_path(path_str)
+        if os.path.isfile(base):
+            st = os.stat(base)
+            return [(os.path.basename(base), st.st_size,
+                     st.st_mtime_ns // 1_000_000)]
+        out: list[tuple[str, int, int]] = []
+        for root, dirs, files in os.walk(base):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, base), st.st_size,
+                            st.st_mtime_ns // 1_000_000))
+        return sorted(out)
+    fs, jpath, _ = _hadoop(spark, path_str)
+    if not fs.exists(jpath):
+        return []
+    status = fs.getFileStatus(jpath)
+    if status.isFile():
+        return [(jpath.getName(), status.getLen(),
+                 status.getModificationTime())]
+    base_uri = fs.makeQualified(jpath).toString().rstrip("/")
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(base_uri):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append((rel, st.getLen(), st.getModificationTime()))
+    return sorted(out)
+
+
 def delete(path_str: str, spark: SparkSession | None = None) -> bool:
     """Recursive delete; True when something was removed."""
     spark = _active_spark(spark)

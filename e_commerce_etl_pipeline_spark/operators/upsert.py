@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import fsops
+from . import fsops, index_store
 from .dedup import drop_null_keys, keep_newest
 
 ETL_COLS = ("etl_batch_id", "etl_created_at", "etl_updated_at", "etl_source")
@@ -87,6 +87,11 @@ def write_table(
     out = out.withColumn("__bucket", _bucket_expr(keys, num_buckets))
     out.write.partitionBy("__bucket").mode("overwrite").parquet(table_path)
     _write_bucket_marker(table_path, num_buckets, spark)
+    # Derived index artifacts (IVF lists, cluster assignments, TF/basket
+    # intermediates) are now stale — drop them eagerly. The fingerprint
+    # keys in index_store already prevent stale READS; this reclaims the
+    # persisted blocks and on-disk generations immediately.
+    index_store.invalidate(table_path, spark)
 
 
 def _any_guard_changed(guard_cols: Sequence[str]) -> Column:
@@ -234,6 +239,9 @@ def upsert(
     # listings for (FileStatusCache has no TTL by default) — invalidate,
     # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
     spark.catalog.refreshByPath(table_path)
+    # Dynamic partition overwrite leaves sibling dirs (incl. _index)
+    # intact — stale derived artifacts must be dropped explicitly.
+    index_store.invalidate(table_path, spark)
 
 
 def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
@@ -291,6 +299,10 @@ def compact_buckets(
     # listings for (FileStatusCache has no TTL by default) — invalidate,
     # or the next read of an overwritten bucket hits FILE_NOT_EXIST.
     spark.catalog.refreshByPath(table_path)
+    # Compaction preserves rows but changes the file listing, so every
+    # fingerprint-keyed artifact would rebuild on next use anyway; drop
+    # the now-unreachable generations rather than leaving them on disk.
+    index_store.invalidate(table_path, spark)
     return bloated
 
 

@@ -1833,12 +1833,6 @@ FROM ranked GROUP BY 1
 # the DuckDB oracle SQL via QUALIFY so both engines see the same baskets.
 MAX_BASKET_ITEMS = 128
 
-# (table path) -> persisted distinct (l_orderkey, l_partkey) table. The
-# basket queries' shared intermediate: each plan references it 2-3 times
-# (pair self-join sides + item counts), and Spark recomputes diamond
-# lineages — without the persist every reference re-scans and re-shuffles
-# the distinct. Same index-artifact pattern as tfidf._TF_CACHE.
-_BASKET_ITEMS_CACHE: dict[str, DataFrame] = {}
 # (table path) -> Observation counting rows dropped by the basket fence.
 # Collected for free during the first action on the shared items table
 # (no extra logging pass); read it after an action via
@@ -1847,8 +1841,15 @@ _BASKET_FENCE_OBS: dict[str, "Observation"] = {}
 
 
 def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _BASKET_ITEMS_CACHE.get(sf_dir)
-    if items is None or items.sparkSession is not spark:
+    """Persisted distinct (l_orderkey, l_partkey) table. The basket
+    queries' shared intermediate: each plan references it 2-3 times
+    (pair self-join sides + item counts), and Spark recomputes diamond
+    lineages — without the persist every reference re-scans and
+    re-shuffles the distinct. Fingerprint-keyed per corpus snapshot
+    (index_store.cached_df, r6) like tfidf.term_frequencies."""
+    from ..operators import index_store
+
+    def build() -> DataFrame:
         from pyspark.sql import Observation
 
         obs = Observation(f"basket_fence:{sf_dir}")
@@ -1870,11 +1871,13 @@ def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("__rn") <= MAX_BASKET_ITEMS)
             .drop("__rn")
-            .persist()
         )
-        _BASKET_ITEMS_CACHE[sf_dir] = items
         _BASKET_FENCE_OBS[sf_dir] = obs
-    return items
+        return items
+
+    return index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "lineitem"), "basket_items", build,
+    )
 
 
 def basket_fence_dropped_rows(sf_dir: str) -> int | None:
