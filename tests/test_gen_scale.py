@@ -61,3 +61,31 @@ def test_document_copies_share_no_shingles(spark, scaled_dir):
 
     sa, sb = shingles(a[0]["text"]), shingles(b[0]["text"])
     assert not (sa & sb), "cross-copy shingle overlap — salting broken"
+
+
+def test_hot_pct_plants_join_key_skew(spark, tmp_path):
+    """HOT_PCT reroutes ~that share of event rows to user_id 0 without
+    changing row counts — the planted hot key the skew bench measures."""
+    dst = str(tmp_path / "sfskew")
+    r = subprocess.run(
+        [sys.executable, "tools/gen_scale.py", SRC, dst, "2", "30"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    src_ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev = spark.read.parquet(f"{dst}/events.parquet")
+    n = ev.count()
+    assert n == src_ev.count() * 2
+    hot = ev.filter(ev.user_id == 0).count()
+    # md5-hash routing: binomial around 30% (the source's own user-0 rows
+    # add a sliver on top)
+    assert 0.25 < hot / n < 0.36, hot / n
+    # determinism: same inputs -> same routing
+    dst2 = str(tmp_path / "sfskew2")
+    r2 = subprocess.run(
+        [sys.executable, "tools/gen_scale.py", SRC, dst2, "2", "30"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ev2 = spark.read.parquet(f"{dst2}/events.parquet")
+    assert ev.exceptAll(ev2).count() == 0 and ev2.exceptAll(ev).count() == 0

@@ -24,8 +24,15 @@ TPC-H itself scales (fixed dimension domains, scaled key spaces):
   of each component (preserves norm order-of-magnitude, de-duplicates
   neighbors across copies).
 
-Usage: python tools/gen_scale.py SRC_DIR DST_DIR MULTIPLIER
+Usage: python tools/gen_scale.py SRC_DIR DST_DIR MULTIPLIER [HOT_PCT]
 e.g.:  python tools/gen_scale.py /root/testdata/sf0.1 .localdata/sf1 10
+       python tools/gen_scale.py /root/testdata/sf0.1 .localdata/sf1skew 10 30
+
+HOT_PCT > 0 plants JOIN-KEY SKEW in events: that percentage of event
+rows is rerouted to user_id 0 (one hot user), deterministically by
+event_id hash. The uniform generator never exercises the engine's skew
+mitigations (salted join/agg, AQE skew-split) — a planted hot key at
+scale is how their worth is measured (tools/bench_skew.py).
 """
 
 from __future__ import annotations
@@ -69,6 +76,7 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf1"
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    hot_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     spark = get_spark("gen-scale")
     os.makedirs(dst, exist_ok=True)
@@ -116,10 +124,18 @@ def main() -> None:
         ),
         "lineitem", 16,
     )
-    write(
-        scale_table(read("events"), m, {"event_id": ke, "user_id": ku}, spark),
-        "events", 8,
-    )
+    events = scale_table(read("events"), m, {"event_id": ke, "user_id": ku}, spark)
+    if hot_pct > 0:
+        # md5-derived routing (not pmod(event_id): offsets make raw ids
+        # non-uniform mod 100) — deterministic, so re-runs are identical
+        events = events.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.abs(F.hash(F.col("event_id"))), F.lit(100)) < hot_pct,
+                F.lit(0).cast("long"),
+            ).otherwise(F.col("user_id")),
+        )
+    write(events, "events", 8)
 
     # documents: salt every 3rd word for copies > 0 so no 3-gram shingle
     # survives across copies (see module docstring)
