@@ -78,10 +78,21 @@ def test_decile_plan_has_no_global_window(spark, sf_dir):
 def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
     """IVF coarse assignment must be the max_by hash aggregate (map-side
     partials collapse n×K similarity rows to n before the shuffle), not
-    an n×K ranking window. The only ranking windows left are the bounded
-    query-side fan-out and the final per-query top-k."""
+    an n×K ranking window. Since r6 the assignment is an index artifact:
+    the BUILD plan carries the aggregate; the QUERY plan just scans the
+    stored inverted lists, leaving only the bounded query-side fan-out
+    and final per-query top-k windows."""
+    from e_commerce_etl_pipeline_spark.extensions import similarity
+
+    build_plan = similarity._assign_nearest(
+        similarity._emb(spark, sf_dir),
+        similarity.trained_centroids(spark, sf_dir),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in build_plan
+    assert "Window [" not in build_plan, "corpus-side window in IVF build"
+
     plan = _plan(spark, sf_dir, "ivf_topk")
-    assert "max_by" in plan
+    assert "max_by" in plan or "ivf_assignment" in plan
     win_lines = [l for l in plan.splitlines() if "Window [" in l]
     assert len(win_lines) <= 2, win_lines
 
