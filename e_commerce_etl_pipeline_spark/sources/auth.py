@@ -14,9 +14,14 @@ import base64
 import hashlib
 import hmac
 import json
+import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from ..operators.upsert import read_upsert_table, upsert
 
 
 def hmac_sha256_signature(secret: str, base_string: str, hex_digest: bool = True) -> str:
@@ -89,8 +94,6 @@ class TokenStore:
         self.path = path
 
     def persist(self, platform: str, state: dict) -> None:
-        from ..operators.upsert import upsert
-
         row = (platform,
                state.get("access_token"),
                state.get("refresh_token"),
@@ -101,14 +104,8 @@ class TokenStore:
                order_col="refreshed_at", num_buckets=1)
 
     def load(self, platform: str) -> dict | None:
-        import os
-
-        from ..operators.upsert import read_upsert_table
-
         if not os.path.exists(self.path):
             return None
-        from pyspark.sql import functions as F
-
         rows = (read_upsert_table(self.spark, self.path)
                 .filter(F.col("platform") == F.lit(platform)).collect())
         if not rows:
