@@ -80,3 +80,70 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
+def hot_keys(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+    max_keys: int = 100,
+) -> list:
+    """Heavy-hitter detection for targeted salting: keys holding at
+    least ``min_share`` of the rows, via one hash aggregate + top-k.
+    The collect is bounded by ``max_keys`` (production: a handful of hot
+    merchants/users/null-ish defaults), never data-sized."""
+    n = df.count()
+    rows = (
+        df.groupBy(key).count()
+        .filter(F.col("count") >= n * min_share)
+        .orderBy(F.col("count").desc(), F.col(key))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def salted_join_targeted(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot: list,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join that salts ONLY the hot keys.
+
+    ``salted_join`` replicates the ENTIRE dim ×n_salts — at n_salts=32
+    and a dim half the fact's size, the replication shuffle costs more
+    than the straggler it removes (measured, tools/bench_skew.py: blanket
+    salting ~parity with the straggler at 30%-hot/10M rows; targeted
+    salting beats both). Production skew is a handful of heavy hitters
+    (one merchant, a default user id), so: fact rows on a hot key get a
+    row-hash salt in [0, n_salts); all other rows salt 0. Dim rows for
+    hot keys replicate ×n_salts; every other dim row stays single. The
+    join key becomes (key, salt): hot keys spread over n_salts shuffle
+    partitions, cold keys pay nothing. Row-identical to the plain join.
+
+    ``hot`` comes from ``hot_keys()`` (one aggregate, bounded collect) or
+    from prior knowledge; passing it explicitly keeps this function a
+    pure plan transform (no hidden action), so it composes with streams
+    and cached plans. Same recompute-stable row-hash salt contract as
+    ``salted_join``."""
+    hot_arr = F.array(*[F.lit(h) for h in hot])
+    is_hot = F.array_contains(hot_arr, F.col(key)) if hot else F.lit(False)
+    salted = skewed.withColumn(
+        "__salt",
+        F.when(
+            is_hot,
+            F.pmod(F.hash(*[F.col(c) for c in skewed.columns]),
+                   F.lit(n_salts)),
+        ).otherwise(F.lit(0)),
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -54,3 +54,68 @@ def test_salted_join_left_outer(spark):
     assert out.count() == 2000
     assert out.filter(F.col("k_name").isNull()).count() == \
         fact.filter(F.col("k") >= 5).count()
+
+
+def test_hot_keys_detects_heavy_hitters(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import hot_keys
+
+    fact = _skewed(spark)
+    hot = hot_keys(fact, "k", min_share=0.5)
+    assert hot == [0]
+    assert hot_keys(fact, "k", min_share=0.99) == []
+
+
+def test_targeted_salted_join_matches_plain(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import (
+        hot_keys,
+        salted_join_targeted,
+    )
+
+    fact, dim = _skewed(spark), _dim(spark)
+    hot = hot_keys(fact, "k", min_share=0.5)
+    plain = sorted(
+        (r.k, r.row_id, r.k_name) for r in fact.join(dim, "k").collect()
+    )
+    targeted = sorted(
+        (r.k, r.row_id, r.k_name)
+        for r in salted_join_targeted(fact, dim, "k", hot, n_salts=8).collect()
+    )
+    assert targeted == plain and len(plain) == 2000
+    # empty hot list degrades to the plain join, still row-identical
+    none_hot = sorted(
+        (r.k, r.row_id, r.k_name)
+        for r in salted_join_targeted(fact, dim, "k", [], n_salts=8).collect()
+    )
+    assert none_hot == plain
+
+
+def test_targeted_salting_replicates_only_hot_dim_rows(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import (
+        salted_join_targeted,
+    )
+
+    fact, dim = _skewed(spark), _dim(spark)
+    out = salted_join_targeted(fact, dim, "k", [0], n_salts=8)
+    # hot fact rows spread over all 8 shards; cold keys stay single-shard
+    pre = fact.withColumn(
+        "__salt",
+        F.when(
+            F.array_contains(F.array(F.lit(0)), F.col("k")),
+            F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(8)),
+        ).otherwise(F.lit(0)),
+    )
+    assert pre.filter(F.col("k") == 0).select("__salt").distinct().count() == 8
+    assert out.count() == 2000
+
+
+def test_targeted_salted_join_left_outer(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import (
+        salted_join_targeted,
+    )
+
+    fact = _skewed(spark)
+    dim = _dim(spark).filter(F.col("k") < 5)
+    out = salted_join_targeted(fact, dim, "k", [0], n_salts=4, how="left")
+    assert out.count() == 2000
+    assert out.filter(F.col("k_name").isNull()).count() == \
+        fact.filter(F.col("k") >= 5).count()

@@ -8,9 +8,12 @@ scenario: the dim outgrew the broadcast threshold):
   plain_aqe_skew_off — sort-merge join with AQE's skew splitting
       disabled: the hot key's rows land in ONE task; its runtime is the
       straggler floor every other config is judged against.
-  plain_aqe_skew_on  — Spark's own mitigation (AQE skewedJoin splits
-      the oversized partition; matching dim rows are duplicated across
-      the splits).
+  plain_aqe_skew_on  — Spark's own mitigation at DEFAULT thresholds
+      (skewedPartitionThresholdInBytes=256m — a 3M-row hot partition at
+      test scale sits under it, so the split never triggers; measured to
+      document exactly that).
+  plain_aqe_skew_tuned — AQE skew split with thresholds lowered to the
+      data (factor=2, threshold=8m): what a tuned cluster config buys.
   salted_join        — the engine's operators/skew.salted_join:
       row-hash salt on the fact side × explode-replicated dim, so the
       hot key spreads over n_salts shuffle partitions REGARDLESS of
@@ -44,7 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from e_commerce_etl_pipeline_spark.operators.skew import (  # noqa: E402
+    hot_keys,
     salted_join,
+    salted_join_targeted,
     salted_sum_count,
 )
 from e_commerce_etl_pipeline_spark.plans.queries import load_table  # noqa: E402
@@ -95,6 +100,14 @@ def main() -> None:
         joined = salted_join(events, users, "user_id", n_salts=N_SALTS)
         return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
 
+    hot = hot_keys(events, "user_id", min_share=0.05)
+
+    def run_salted_targeted():
+        joined = salted_join_targeted(
+            events, users, "user_id", hot, n_salts=N_SALTS
+        )
+        return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
+
     timings: dict[str, float] = {}
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
@@ -104,9 +117,29 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         timings["join_plain_aqe_skew_off"] = timed(run_plain, runs)
         timings["join_salted"] = timed(run_salted, runs)
+        timings["join_salted_targeted"] = timed(run_salted_targeted, runs)
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timings["join_plain_aqe_skew_on"] = timed(run_plain, runs)
+
+        prev_factor = spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        prev_thresh = spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "8m")
+            timings["join_plain_aqe_skew_tuned"] = timed(run_plain, runs)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                prev_factor)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                prev_thresh)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
@@ -114,7 +147,12 @@ def main() -> None:
     # correctness cross-check: identical join cardinality either way
     n_plain = events.join(users, "user_id").count()
     n_salted = salted_join(events, users, "user_id", n_salts=N_SALTS).count()
-    assert n_plain == n_salted == n, (n, n_plain, n_salted)
+    n_targeted = salted_join_targeted(
+        events, users, "user_id", hot, n_salts=N_SALTS
+    ).count()
+    assert n_plain == n_salted == n_targeted == n, (
+        n, n_plain, n_salted, n_targeted
+    )
 
     dec = F.col("value").cast("decimal(18,2)")
 
@@ -131,6 +169,45 @@ def main() -> None:
     timings["agg_plain"] = timed(run_agg_plain, runs)
     timings["agg_salted"] = timed(run_agg_salted, runs)
 
+    # Structural skew metric: rows per shuffle partition (hash(join key)
+    # mod shuffle.partitions), max/mean ratio. Local[32] wall-clock
+    # understates the straggler (32 threads share one memory bus and the
+    # scan phase is common to all configs); the partition imbalance is
+    # the quantity a 1000-executor cluster actually serializes on, and
+    # it is deterministic — immune to the bench noise floor.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def max_over_mean(df_keyed) -> float:
+        counts = df_keyed.groupBy(
+            F.pmod(F.hash("user_id", "__salt")
+                   if "__salt" in df_keyed.columns else F.hash("user_id"),
+                   F.lit(n_part)).alias("p")
+        ).count()
+        row = counts.agg(
+            F.max("count").alias("mx"),
+            (F.sum("count") / F.lit(n_part)).alias("mean"),
+        ).collect()[0]
+        return round(row["mx"] / row["mean"], 2)
+
+    hot_arr = F.array(*[F.lit(h) for h in hot])
+    salted_fact = events.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in events.columns]),
+                         F.lit(N_SALTS)),
+    )
+    targeted_fact = events.withColumn(
+        "__salt",
+        F.when(
+            F.array_contains(hot_arr, F.col("user_id")),
+            F.pmod(F.hash(*[F.col(c) for c in events.columns]),
+                   F.lit(N_SALTS)),
+        ).otherwise(F.lit(0)),
+    )
+    balance = {
+        "plain_max_over_mean": max_over_mean(events),
+        "salted_max_over_mean": max_over_mean(salted_fact),
+        "targeted_max_over_mean": max_over_mean(targeted_fact),
+    }
+
     out = {
         "metric": "skew_mitigation_bench",
         "unit": "sec",
@@ -142,8 +219,14 @@ def main() -> None:
         "n_salts": N_SALTS,
         "warm_runs": runs,
         "timings": timings,
+        "hot_keys_detected": [int(h) for h in hot],
+        "shuffle_partition_balance": balance,
         "join_speedup_vs_straggler": round(
             timings["join_plain_aqe_skew_off"] / timings["join_salted"], 2
+        ),
+        "targeted_speedup_vs_straggler": round(
+            timings["join_plain_aqe_skew_off"]
+            / timings["join_salted_targeted"], 2
         ),
     }
     line = json.dumps(out)
