@@ -147,3 +147,75 @@ def salted_join_targeted(
         ),
     )
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
+def salt_decision(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.05,
+    min_hot_rows: int = 1_000_000,
+    max_keys: int = 100,
+) -> dict:
+    """Should this join be salted? Decide from data, not folklore.
+
+    The skew benchmarks (tools/bench_skew.py, docs/SCALE.md) measured a
+    real crossover: at ~3 M rows on one key the salted join beats the
+    straggler 1.56x, but at ~300 k rows per hot key every mitigation
+    costs MORE than the straggler it removes — below roughly a second
+    of single-key work there is no straggler worth splitting. So a key
+    qualifies as hot only when it is BOTH relatively heavy (>=
+    ``min_share`` of the rows — a balanced key distribution never
+    triggers) and absolutely heavy (>= ``min_hot_rows`` — the measured
+    floor under which the salt is overhead; tune per cluster, the
+    default is conservative for executor-scale hardware).
+
+    One hash aggregate + bounded top-k collect (never data-sized).
+    Returns ``{"hot": [...], "use_salt": bool, "total_rows": n}`` so
+    callers can log the decision (no silent plan changes).
+    """
+    n = df.count()
+    rows = (
+        df.groupBy(key).count()
+        .filter(
+            (F.col("count") >= n * min_share)
+            & (F.col("count") >= min_hot_rows)
+        )
+        .orderBy(F.col("count").desc(), F.col(key))
+        .limit(max_keys)
+        .collect()
+    )
+    hot = [r[key] for r in rows]
+    return {"hot": hot, "use_salt": bool(hot), "total_rows": n}
+
+
+def auto_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 32,
+    how: str = "inner",
+    min_share: float = 0.05,
+    min_hot_rows: int = 1_000_000,
+) -> DataFrame:
+    """Equi-join that salts itself only when the data says to.
+
+    Runs ``salt_decision`` (one aggregate over the fact side), then
+    either the plain join (no qualifying hot key — the common case, and
+    below the measured crossover the fastest one) or
+    ``salted_join_targeted`` on exactly the detected heavy hitters.
+    Row-identical to the plain join either way, so the same oracle
+    verifies both plans.
+
+    NOTE: unlike ``salted_join_targeted`` this is NOT a pure plan
+    transform — the decision is an action. Use it for batch pipelines
+    where the extra aggregate is noise; for streaming / cached plans,
+    compute ``hot_keys`` out-of-band and call the targeted variant.
+    """
+    decision = salt_decision(
+        skewed, key, min_share=min_share, min_hot_rows=min_hot_rows
+    )
+    if not decision["use_salt"]:
+        return skewed.join(small, key, how)
+    return salted_join_targeted(
+        skewed, small, key, decision["hot"], n_salts=n_salts, how=how
+    )

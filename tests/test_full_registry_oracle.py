@@ -19,4 +19,12 @@ from tools.check_oracle import run_checks
 def test_every_registry_query_matches_its_oracle(spark):
     lines: list[str] = []
     failures = run_checks("/root/testdata/sf0.001", spark=spark, out=lines.append)
+    if failures:
+        # pytest truncates long assertion messages; persist the complete
+        # per-query diagnostics so a full-suite failure is debuggable
+        # without a re-run (this check is ~2 min of Spark+DuckDB work).
+        dump = "/tmp/spark_graft_oracle_failures.txt"
+        with open(dump, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        lines.append(f"(complete diagnostics written to {dump})")
     assert not failures, "\n".join(lines)

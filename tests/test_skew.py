@@ -119,3 +119,38 @@ def test_targeted_salted_join_left_outer(spark):
     assert out.count() == 2000
     assert out.filter(F.col("k_name").isNull()).count() == \
         fact.filter(F.col("k") >= 5).count()
+
+
+def test_salt_decision_respects_both_thresholds(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import salt_decision
+
+    fact = _skewed(spark)
+    # relatively hot (90% share) but absolutely tiny: the measured
+    # crossover says don't salt
+    d = salt_decision(fact, "k", min_share=0.5, min_hot_rows=1_000_000)
+    assert d == {"hot": [], "use_salt": False, "total_rows": 2000}
+    # lower the absolute floor to test scale: key 0 qualifies
+    d = salt_decision(fact, "k", min_share=0.5, min_hot_rows=100)
+    assert d["use_salt"] and d["hot"] == [0]
+    # balanced distribution never qualifies regardless of the floor
+    balanced = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    assert not salt_decision(balanced, "k", min_share=0.5, min_hot_rows=1)[
+        "use_salt"
+    ]
+
+
+def test_auto_salted_join_matches_plain_on_both_paths(spark):
+    from e_commerce_etl_pipeline_spark.operators.skew import auto_salted_join
+
+    fact, dim = _skewed(spark), _dim(spark)
+    plain = sorted((r.k, r.row_id, r.k_name) for r in
+                   fact.join(dim, "k").collect())
+
+    # cold path: decision says plain join — no salt column in the plan
+    cold = auto_salted_join(fact, dim, "k", min_hot_rows=1_000_000)
+    assert "__salt" not in cold._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted((r.k, r.row_id, r.k_name) for r in cold.collect()) == plain
+
+    # hot path: decision salts key 0 only — still row-identical
+    hot = auto_salted_join(fact, dim, "k", n_salts=8, min_hot_rows=100)
+    assert sorted((r.k, r.row_id, r.k_name) for r in hot.collect()) == plain
