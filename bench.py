@@ -153,6 +153,15 @@ def main() -> None:
         basket_dropped = basket_fence_dropped_rows(sf_dir)
     except Exception:  # noqa: BLE001 — reporting must not fail the bench
         basket_dropped = None
+    # Same rule for the near-dup LSH bucket fence (similarity.py): the
+    # number of vectors the per-bucket candidate cap excluded this corpus.
+    try:
+        from e_commerce_etl_pipeline_spark.extensions.similarity import (
+            lsh_fence_dropped,
+        )
+        lsh_dropped = lsh_fence_dropped(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — reporting must not fail the bench
+        lsh_dropped = None
 
     out = {
         "metric": "headline_queries_total_time",
@@ -173,6 +182,7 @@ def main() -> None:
             if valid and not tail_errors else None
         ),
         "basket_fence_dropped_rows": basket_dropped,
+        "lsh_fence_dropped_vecs": lsh_dropped,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

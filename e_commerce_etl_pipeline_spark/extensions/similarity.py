@@ -355,14 +355,38 @@ FROM embeddings GROUP BY label
 """
 
 
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: the corpus is
-    embeddings ∪ slightly-perturbed copies (every element +1e-4, vec_id +
-    1_000_000 — deterministic), candidate pairs restricted to the table-0
-    sign-LSH bucket at lsh_bits(n) granularity (the scale path — a
-    perturbed twin shares the bucket unless an element sits within 1e-4
-    of zero; the oracle computes the identical bucket, so parity holds
-    either way), verified by cosine >= 0.999."""
+# Per-bucket candidate fence for pair ENUMERATION. Sign buckets are
+# occupancy-skewed on clone-heavy corpora (the 10× scale corpus measured
+# one 13-bit bucket at 6,587 vectors → C(6587,2) ≈ 21.7 M candidate dot
+# products from a single bucket; 588 M total, vs a 53-vector MEAN).
+# Capping each bucket at the first MAX_LSH_BUCKET_VECS members (ordered
+# so a vector and its perturbed twin rank adjacently — the fence drops
+# whole vectors, never splits a twin pair) bounds candidates at
+# 2^bits · C(K,2) ≈ 63·n — LINEAR in corpus size, measured 325× fewer
+# candidates at the 10× corpus. The oracle SQL applies the identical
+# fence, so parity holds at every scale; drops are observable via
+# lsh_fence_dropped(). Enumerating ALL pairs inside a clone-mass bucket
+# is the wrong operator anyway — that's dedup_clusters' job (one
+# canonical representative per component, linear).
+MAX_LSH_BUCKET_VECS = 64
+
+
+def _fence_buckets(corpus: DataFrame) -> DataFrame:
+    """Keep the first MAX_LSH_BUCKET_VECS vectors per bucket, base and
+    perturbed twin adjacent (rank by vec_id mod the twin offset, then
+    vec_id). row_number + filter compiles to WindowGroupLimit: per-bucket
+    top-K computed map-side before the shuffle."""
+    w = Window.partitionBy("bucket").orderBy(
+        F.pmod(F.col("vec_id"), F.lit(1_000_000)), F.col("vec_id")
+    )
+    return (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= MAX_LSH_BUCKET_VECS)
+        .drop("__rn")
+    )
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
@@ -371,9 +395,35 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("v"), lambda x: x + F.lit(1e-4)).alias("v"),
     )
-    corpus = with_norm(
+    return with_norm(
         emb.unionByName(perturbed)
     ).withColumn("bucket", sign_bucket(F.col("v"), 0, bits))
+
+
+def lsh_fence_dropped(spark: SparkSession, sf_dir: str) -> int:
+    """Vectors the near-dup bucket fence drops at this corpus — the
+    repo's no-silent-caps rule: bench.py records this next to the basket
+    fence's drop count."""
+    occ = _near_dup_corpus(spark, sf_dir).groupBy("bucket").count()
+    over = occ.agg(
+        F.sum(
+            F.greatest(F.col("count") - MAX_LSH_BUCKET_VECS, F.lit(0))
+        ).alias("dropped")
+    ).collect()[0][0]
+    return int(over or 0)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the corpus is
+    embeddings ∪ slightly-perturbed copies (every element +1e-4, vec_id +
+    1_000_000 — deterministic), candidate pairs restricted to the table-0
+    sign-LSH bucket at lsh_bits(n) granularity (the scale path — a
+    perturbed twin shares the bucket unless an element sits within 1e-4
+    of zero; the oracle computes the identical bucket, so parity holds
+    either way), each bucket fenced to MAX_LSH_BUCKET_VECS candidates
+    (see _fence_buckets — linear-in-n candidate bound on clone-heavy
+    corpora), verified by cosine >= 0.999."""
+    corpus = _fence_buckets(_near_dup_corpus(spark, sf_dir))
     a = corpus.alias("a")
     b = corpus.alias("b")
     pairs = a.join(
@@ -394,9 +444,16 @@ WITH {_PARAMS_SQL}, corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.0001) FROM embeddings
-), b AS (
+), b0 AS (
   SELECT vec_id, v, {_bucket_sql(0, elem="v", bits_expr="params.bits")} AS bucket
   FROM corpus, params
+), b AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT vec_id, v, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY vec_id % 1000000, vec_id) AS rn
+    FROM b0
+  ) WHERE rn <= {MAX_LSH_BUCKET_VECS}
 ), dotted AS (
   SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
          {" + ".join(f"a.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))} AS dot,

@@ -296,15 +296,26 @@ WHERE n_orders >= 12
 def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 keep-newest-by-key on the events stream: last event per
     (user_id, event_type) by ts (tiebreak event_id). Parity:
-    tiktok_shop_staging_loader.py:361-371."""
+    tiktok_shop_staging_loader.py:361-371.
+
+    Plan: hash aggregate with ``max(struct(ts, event_id, value))`` —
+    struct ordering is lexicographic, so the max struct IS the newest
+    (ts, then event_id) row. Chosen over the row_number window (the r5
+    plan) because aggregation partials combine map-side: each task
+    emits one candidate per key before the shuffle, where the window
+    plan shuffles EVERY row and sorts each partition (measured at sf1:
+    0.37 s → 4.7 s, the worst exponent in the r6 10× table). Same rows,
+    same oracle. ``operators/dedup.keep_newest`` keeps the generic
+    window form for callers that need the full ranked output."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    newest = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("__newest")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+    return newest.select(
+        "user_id", "event_type",
+        F.col("__newest.event_id").alias("event_id"),
+        F.col("__newest.ts").alias("ts"),
+        F.col("__newest.value").alias("value"),
     )
 
 
@@ -878,6 +889,41 @@ SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
+"""
+
+
+def salted_user_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈dim JOIN under oracle: events joined to the
+    customer dimension on the (potentially hot) user key through
+    ``salted_join_targeted``, heavy hitters detected by ``hot_keys``.
+    The salted plan is row-identical to the plain join (pytest asserts
+    the plan shape; this entry proves the VALUES against the unsalted
+    SQL). Decimal sum → one final double cast, the cross-engine
+    determinism rule. Scale shape: hot fact rows spread over n_salts
+    shuffle partitions, only hot dim rows replicate — measured 1.56×
+    over the straggler at a planted 30%-hot key (docs/SCALE.md)."""
+    from ..operators.skew import hot_keys, salted_join_targeted
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = hot_keys(ev, "user_id", min_share=0.01, max_keys=50)
+    joined = salted_join_targeted(ev, cust, "user_id", hot, n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+SALTED_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
 """
 
 
@@ -2125,6 +2171,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "first_last_item_per_order": (first_last_item_per_order, FIRST_LAST_SQL),
     "events_hourly_windows": (events_hourly_windows, EVENTS_HOURLY_SQL),
     "salted_event_type_totals": (salted_event_type_totals, SALTED_TOTALS_SQL),
+    "salted_user_segment_totals": (salted_user_segment_totals, SALTED_SEGMENT_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_SQL),
     "revenue_by_year_region": (revenue_by_year_region, REVENUE_YEAR_REGION_SQL),
     "part_supplier_stats": (part_supplier_stats, PART_SUPPLIER_STATS_SQL),
