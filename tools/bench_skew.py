@@ -47,7 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from e_commerce_etl_pipeline_spark.operators.skew import (  # noqa: E402
+    auto_salted_join,
     hot_keys,
+    salt_decision,
     salted_join,
     salted_join_targeted,
     salted_sum_count,
@@ -108,6 +110,12 @@ def main() -> None:
         )
         return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
 
+    def run_auto():
+        # end-to-end INCLUDING the decision aggregate — the honest cost
+        # of "decide from data, then join" at default thresholds
+        joined = auto_salted_join(events, users, "user_id", n_salts=N_SALTS)
+        return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
+
     timings: dict[str, float] = {}
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
@@ -118,6 +126,7 @@ def main() -> None:
         timings["join_plain_aqe_skew_off"] = timed(run_plain, runs)
         timings["join_salted"] = timed(run_salted, runs)
         timings["join_salted_targeted"] = timed(run_salted_targeted, runs)
+        timings["join_auto"] = timed(run_auto, runs)
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timings["join_plain_aqe_skew_on"] = timed(run_plain, runs)
@@ -143,6 +152,9 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+
+    # what branch does the auto decision take at this corpus?
+    decision = salt_decision(events, "user_id")
 
     # correctness cross-check: identical join cardinality either way
     n_plain = events.join(users, "user_id").count()
@@ -220,6 +232,10 @@ def main() -> None:
         "warm_runs": runs,
         "timings": timings,
         "hot_keys_detected": [int(h) for h in hot],
+        "auto_decision": {
+            "use_salt": bool(decision["use_salt"]),
+            "hot": [int(h) for h in decision["hot"]],
+        },
         "shuffle_partition_balance": balance,
         "join_speedup_vs_straggler": round(
             timings["join_plain_aqe_skew_off"] / timings["join_salted"], 2
