@@ -829,8 +829,17 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~nonfinite & (norm == 0.0), 1).otherwise(0)).alias("n_zero"),
         F.min(finite_norm).alias("norm_min"),
         F.max(finite_norm).alias("norm_max"),
-        (F.sum(finite_norm.cast("decimal(28,12)")).cast("double")
-         / F.sum(F.when(~nonfinite, 1).otherwise(0))).alias("norm_mean"),
+        # Rounded to 9 decimals as the DOCUMENTED precision of the
+        # profile: the per-norm double→decimal(28,12) cast can round
+        # differently between engines on a tie-landing double (observed
+        # once in 20 k norms at sf1 — a 1e-12 sum divergence, last-2-ULP
+        # mean divergence). 9 digits is far beyond the report's use and
+        # far above the divergence, so both engines agree at every scale.
+        F.round(
+            F.sum(finite_norm.cast("decimal(28,12)")).cast("double")
+            / F.sum(F.when(~nonfinite, 1).otherwise(0)),
+            9,
+        ).alias("norm_mean"),
     )
 
 
@@ -861,9 +870,9 @@ SELECT label,
          AS n_zero,
        MIN(CASE WHEN NOT nonfinite THEN norm END) AS norm_min,
        MAX(CASE WHEN NOT nonfinite THEN norm END) AS norm_max,
-       CAST(SUM(CASE WHEN NOT nonfinite
+       ROUND(CAST(SUM(CASE WHEN NOT nonfinite
                      THEN CAST(norm AS DECIMAL(28,12)) END) AS DOUBLE)
-         / SUM(CASE WHEN NOT nonfinite THEN 1 ELSE 0 END) AS norm_mean
+         / SUM(CASE WHEN NOT nonfinite THEN 1 ELSE 0 END), 9) AS norm_mean
 FROM scored
 GROUP BY label
 """
