@@ -298,24 +298,37 @@ def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type) by ts (tiebreak event_id). Parity:
     tiktok_shop_staging_loader.py:361-371.
 
-    Plan: hash aggregate with ``max(struct(ts, event_id, value))`` —
-    struct ordering is lexicographic, so the max struct IS the newest
-    (ts, then event_id) row. Chosen over the row_number window (the r5
-    plan) because aggregation partials combine map-side: each task
-    emits one candidate per key before the shuffle, where the window
-    plan shuffles EVERY row and sorts each partition (measured at sf1:
-    0.37 s → 4.7 s, the worst exponent in the r6 10× table). Same rows,
-    same oracle. ``operators/dedup.keep_newest`` keeps the generic
-    window form for callers that need the full ranked output."""
+    Plan (r7): pure HASH aggregate via a packed recency key. The r6
+    ``max(struct(ts, event_id, value))`` already combined map-side, but a
+    struct is not a mutable agg-buffer type, so Spark planned
+    Sort+SortAggregate — every partition paid a sort (docs/PLANS.md r6).
+    Packing the ordering (ts, event_id) into ONE orderable atomic,
+    ``decimal(38,0) pack = unix_micros(ts)·10^12 + event_id`` (28 digits:
+    16 for 2280-era micros + 12 for the id — decimals ARE mutable buffer
+    fields, exactly how TPC-H q1's decimal sums hash-aggregate), gives
+    ``max(pack)`` + ``max_by(value, pack)`` → HashAggregate on both sides
+    of the shuffle, no sorts, partials still one-candidate-per-key.
+    Ordering is identical to (ts DESC, event_id DESC) because event_id is
+    unique and < 10^12 (asserted range of every corpus here; callers
+    beyond that scale re-widen the shift). event_id and ts unpack exactly
+    from the max (integer floor-div/mod; unix_micros roundtrips exactly —
+    UTC session, micro precision). Same rows, same oracle.
+    ``operators/dedup.keep_newest`` keeps the generic window form for
+    callers that need the full ranked output or nullable keys."""
     ev = load_table(spark, sf_dir, "events")
+    shift = F.lit(10**12)
+    pack = F.unix_micros("ts").cast("decimal(38,0)") * shift + F.col("event_id")
     newest = ev.groupBy("user_id", "event_type").agg(
-        F.max(F.struct("ts", "event_id", "value")).alias("__newest")
+        F.max(pack).alias("__pk"),
+        F.max_by("value", pack).alias("value"),
     )
     return newest.select(
         "user_id", "event_type",
-        F.col("__newest.event_id").alias("event_id"),
-        F.col("__newest.ts").alias("ts"),
-        F.col("__newest.value").alias("value"),
+        F.pmod(F.col("__pk"), shift).cast("long").alias("event_id"),
+        F.timestamp_micros(
+            F.floor(F.col("__pk") / shift).cast("long")
+        ).alias("ts"),
+        "value",
     )
 
 

@@ -75,6 +75,18 @@ def test_decile_plan_has_no_global_window(spark, sf_dir):
     assert all("__cb" in l for l in win_lines), win_lines
 
 
+def test_keep_newest_is_pure_hash_aggregate(spark, sf_dir):
+    """dedup_keep_newest must plan as HashAggregate with NO sorts: the
+    packed decimal recency key (r7) exists precisely so the max/max_by
+    buffers stay mutable — a struct ordering key regresses to
+    Sort+SortAggregate, re-paying a per-partition sort at every scale
+    (docs/PLANS.md r6 finding #2)."""
+    plan = _plan(spark, sf_dir, "dedup_keep_newest")
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Sort [" not in plan
+
+
 def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
     """IVF coarse assignment must be the max_by hash aggregate (map-side
     partials collapse n×K similarity rows to n before the shuffle), not
