@@ -155,6 +155,7 @@ def salt_decision(
     min_share: float = 0.05,
     min_hot_rows: int = 1_000_000,
     max_keys: int = 100,
+    table_path: str | None = None,
 ) -> dict:
     """Should this join be salted? Decide from data, not folklore.
 
@@ -172,20 +173,39 @@ def salt_decision(
     One hash aggregate + bounded top-k collect (never data-sized).
     Returns ``{"hot": [...], "use_salt": bool, "total_rows": n}`` so
     callers can log the decision (no silent plan changes).
+
+    ``table_path`` (r7): the key distribution is a per-corpus-SNAPSHOT
+    fact, not a per-call one — when the fact side is a scan of a stored
+    table, pass its path and the decision is memoized through
+    ``index_store.cached_value`` (content-fingerprint keyed: an upsert /
+    rewrite re-decides, a repeat call on unchanged data launches ZERO
+    jobs). The caller owns the contract that ``df``'s rows are the
+    table's rows (projections are fine — the decision reads only
+    ``key``); pass ``None`` for filtered/derived frames.
     """
-    n = df.count()
-    rows = (
-        df.groupBy(key).count()
-        .filter(
-            (F.col("count") >= n * min_share)
-            & (F.col("count") >= min_hot_rows)
+    def compute() -> dict:
+        n = df.count()
+        rows = (
+            df.groupBy(key).count()
+            .filter(
+                (F.col("count") >= n * min_share)
+                & (F.col("count") >= min_hot_rows)
+            )
+            .orderBy(F.col("count").desc(), F.col(key))
+            .limit(max_keys)
+            .collect()
         )
-        .orderBy(F.col("count").desc(), F.col(key))
-        .limit(max_keys)
-        .collect()
+        hot = [r[key] for r in rows]
+        return {"hot": hot, "use_salt": bool(hot), "total_rows": n}
+
+    if table_path is None:
+        return compute()
+    from . import index_store
+
+    artifact = f"salt_decision/{key}/{min_share}/{min_hot_rows}/{max_keys}"
+    return index_store.cached_value(
+        df.sparkSession, table_path, artifact, compute
     )
-    hot = [r[key] for r in rows]
-    return {"hot": hot, "use_salt": bool(hot), "total_rows": n}
 
 
 def auto_salted_join(
@@ -196,6 +216,7 @@ def auto_salted_join(
     how: str = "inner",
     min_share: float = 0.05,
     min_hot_rows: int = 1_000_000,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Equi-join that salts itself only when the data says to.
 
@@ -207,12 +228,19 @@ def auto_salted_join(
     verifies both plans.
 
     NOTE: unlike ``salted_join_targeted`` this is NOT a pure plan
-    transform — the decision is an action. Use it for batch pipelines
-    where the extra aggregate is noise; for streaming / cached plans,
-    compute ``hot_keys`` out-of-band and call the targeted variant.
+    transform — the decision is an action. Pass ``table_path`` (the fact
+    side's stored-table path) to pay that action ONCE per corpus
+    snapshot: the decision memoizes through the fingerprint-keyed
+    ``index_store`` and repeat joins on unchanged data take the
+    decision branch with zero extra jobs (measured: the decision
+    aggregate was most of auto's gap to targeted at local scale —
+    tools/bench_skew.py ``join_auto_memoized``). For streaming / cached
+    plans, compute ``hot_keys`` out-of-band and call the targeted
+    variant.
     """
     decision = salt_decision(
-        skewed, key, min_share=min_share, min_hot_rows=min_hot_rows
+        skewed, key, min_share=min_share, min_hot_rows=min_hot_rows,
+        table_path=table_path,
     )
     if not decision["use_salt"]:
         return skewed.join(small, key, how)

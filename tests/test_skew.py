@@ -154,3 +154,64 @@ def test_auto_salted_join_matches_plain_on_both_paths(spark):
     # hot path: decision salts key 0 only — still row-identical
     hot = auto_salted_join(fact, dim, "k", n_salts=8, min_hot_rows=100)
     assert sorted((r.k, r.row_id, r.k_name) for r in hot.collect()) == plain
+
+
+def test_salt_decision_memoized_per_snapshot(spark, tmp_path):
+    """With table_path, the decision aggregate runs ONCE per corpus
+    snapshot: the second call is a pure dict lookup (no build → no Spark
+    job), and a table rewrite re-decides (fingerprint key)."""
+    from e_commerce_etl_pipeline_spark.operators import index_store
+    from e_commerce_etl_pipeline_spark.operators.skew import salt_decision
+
+    path = str(tmp_path / "fact.parquet")
+    _skewed(spark).write.mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    index_store.reset_session_state()
+
+    d1 = salt_decision(fact, "k", min_share=0.5, min_hot_rows=100,
+                       table_path=path)
+    assert d1["use_salt"] and d1["hot"] == [0]
+    builds_after_first = dict(index_store.BUILD_COUNTS)
+
+    # second call: served from the memo — the build closure (the only
+    # thing that launches the decision jobs) must not run again
+    d2 = salt_decision(fact, "k", min_share=0.5, min_hot_rows=100,
+                       table_path=path)
+    assert d2 == d1
+    assert index_store.BUILD_COUNTS == builds_after_first
+
+    # different thresholds = different decision = separate memo entry
+    d3 = salt_decision(fact, "k", min_share=0.5, min_hot_rows=10**9,
+                       table_path=path)
+    assert not d3["use_salt"]
+
+    # rewrite the table balanced: the fingerprint changes, the memo
+    # re-decides instead of serving the stale hot list
+    _dim(spark).select("k", F.col("k").alias("row_id")) \
+        .write.mode("overwrite").parquet(path)
+    d4 = salt_decision(spark.read.parquet(path), "k", min_share=0.5,
+                       min_hot_rows=100, table_path=path)
+    assert not d4["use_salt"]
+
+
+def test_auto_salted_join_uses_memoized_decision(spark, tmp_path):
+    from e_commerce_etl_pipeline_spark.operators import index_store
+    from e_commerce_etl_pipeline_spark.operators.skew import auto_salted_join
+
+    path = str(tmp_path / "fact2.parquet")
+    _skewed(spark).write.mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = _dim(spark)
+    index_store.reset_session_state()
+
+    plain = sorted((r.k, r.row_id, r.k_name) for r in
+                   fact.join(dim, "k").collect())
+    out1 = auto_salted_join(fact, dim, "k", n_salts=8, min_hot_rows=100,
+                            table_path=path)
+    assert sorted((r.k, r.row_id, r.k_name) for r in out1.collect()) == plain
+    builds = dict(index_store.BUILD_COUNTS)
+
+    out2 = auto_salted_join(fact, dim, "k", n_salts=8, min_hot_rows=100,
+                            table_path=path)
+    assert index_store.BUILD_COUNTS == builds  # decision not recomputed
+    assert sorted((r.k, r.row_id, r.k_name) for r in out2.collect()) == plain

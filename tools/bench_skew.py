@@ -116,6 +116,18 @@ def main() -> None:
         joined = auto_salted_join(events, users, "user_id", n_salts=N_SALTS)
         return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
 
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+
+    def run_auto_memoized():
+        # the production shape (r7): decision memoized per corpus
+        # snapshot through index_store — after the first call, auto
+        # costs the same as targeted (the decision is a dict lookup)
+        joined = auto_salted_join(
+            events, users, "user_id", n_salts=N_SALTS,
+            table_path=events_path,
+        )
+        return joined.agg(F.count(F.lit(1)), F.min("user_tag")).collect()
+
     timings: dict[str, float] = {}
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
@@ -127,6 +139,8 @@ def main() -> None:
         timings["join_salted"] = timed(run_salted, runs)
         timings["join_salted_targeted"] = timed(run_salted_targeted, runs)
         timings["join_auto"] = timed(run_auto, runs)
+        run_auto_memoized()  # warm the snapshot memo (the one-time cost)
+        timings["join_auto_memoized"] = timed(run_auto_memoized, runs)
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timings["join_plain_aqe_skew_on"] = timed(run_plain, runs)
