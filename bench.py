@@ -162,6 +162,24 @@ def main() -> None:
         lsh_dropped = lsh_fence_dropped(spark, sf_dir)
     except Exception:  # noqa: BLE001 — reporting must not fail the bench
         lsh_dropped = None
+    # Recall next to the drop counts (r7): what the fence's drops COST
+    # in recovered near-dup pairs, and what the chain-link cluster
+    # hybrid recovers — the number a user needs before trusting either
+    # path on a clone-heavy corpus.
+    near_dup_recall = None
+    try:
+        from e_commerce_etl_pipeline_spark.extensions.similarity import (
+            near_dup_recall_eval,
+        )
+        near_dup_recall = {
+            r["method"]: {
+                "n_exact": r["n_exact"], "n_recovered": r["n_recovered"],
+                "recall": r["recall"],
+            }
+            for r in near_dup_recall_eval(spark, sf_dir).collect()
+        }
+    except Exception:  # noqa: BLE001 — reporting must not fail the bench
+        pass
 
     out = {
         "metric": "headline_queries_total_time",
@@ -183,6 +201,7 @@ def main() -> None:
         ),
         "basket_fence_dropped_rows": basket_dropped,
         "lsh_fence_dropped_vecs": lsh_dropped,
+        "near_dup_recall": near_dup_recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -359,40 +359,163 @@ FROM embeddings GROUP BY label
 # occupancy-skewed on clone-heavy corpora (the 10× scale corpus measured
 # one 13-bit bucket at 6,587 vectors → C(6587,2) ≈ 21.7 M candidate dot
 # products from a single bucket; 588 M total, vs a 53-vector MEAN).
-# Capping each bucket at the first MAX_LSH_BUCKET_VECS members (ordered
-# so a vector and its perturbed twin rank adjacently — the fence drops
-# whole vectors, never splits a twin pair) bounds candidates at
-# 2^bits · C(K,2) ≈ 63·n — LINEAR in corpus size, measured 325× fewer
-# candidates at the 10× corpus. The oracle SQL applies the identical
-# fence, so parity holds at every scale; drops are observable via
-# lsh_fence_dropped(). Enumerating ALL pairs inside a clone-mass bucket
-# is the wrong operator anyway — that's dedup_clusters' job (one
-# canonical representative per component, linear).
+# Keeping only whole twin-groups whose last member ranks within
+# MAX_LSH_BUCKET_VECS (pair-aware cutoff — the r6 even-cap heuristic
+# could land BETWEEN a base and its twin when unpaired singletons
+# shifted adjacency parity) bounds candidates at 2^bits · C(K,2) ≈ 63·n
+# — LINEAR in corpus size, measured 325× fewer candidates at the 10×
+# corpus. The oracle SQL applies the identical fence, so parity holds at
+# every scale. Drops are NOT silent: the query's own plan carries an
+# Observation (near_dup_fence_observed_drops reads it after any action,
+# zero extra jobs), and lsh_fence_dropped() counts them standalone. The
+# fence trades RECALL on clone-mass buckets — near_dup_recall_eval
+# measures that trade, and near_dup_clusters is the recall-preserving
+# linear path (chain-linked components, no drops at all).
 MAX_LSH_BUCKET_VECS = 64
 
+# Perturbed-twin id offset for the planted near-dup corpus. Every corpus
+# this engine generates keeps vec_id < TWIN_OFFSET (asserted at corpus
+# build — a larger corpus would collide base and twin ids, corrupting
+# pair enumeration and making the fence ordering non-total).
+TWIN_OFFSET = 1_000_000
 
-def _fence_buckets(corpus: DataFrame) -> DataFrame:
-    """Keep the first MAX_LSH_BUCKET_VECS vectors per bucket, base and
-    perturbed twin adjacent (rank by vec_id mod the twin offset, then
-    vec_id). row_number + filter compiles to WindowGroupLimit: per-bucket
-    top-K computed map-side before the shuffle."""
-    w = Window.partitionBy("bucket").orderBy(
-        F.pmod(F.col("vec_id"), F.lit(1_000_000)), F.col("vec_id")
+# Chain-link window for near_dup_clusters: each vector pairs with its
+# NEAR_DUP_CHAIN_W successors in per-bucket projection order —
+# candidates stay ≤ W·n at ANY bucket occupancy, and transitivity
+# (connected components) recovers whole clone families from chain edges
+# alone. The ordering proxy must separate DISTINCT vectors while keeping
+# near-dups adjacent: the corpus is unit-normalized, so norm is useless
+# (every vector ≈ 1.0 and a twin's 1e-4 shift jumps ~40 ranks — measured
+# at sf0.001); a fixed pseudo-random projection spreads a bucket over
+# ~[-1,1] while a near-dup pair moves ≤ |δ| — twins land adjacent, clone
+# families contiguous.
+NEAR_DUP_CHAIN_W = 16
+
+NEAR_DUP_COS = 0.999
+
+# Bounded query-sample size for the near-dup recall gate (hash-ranked —
+# uniform over the corpus, NOT an id prefix, which the fence ordering
+# would always keep).
+N_ND_SAMPLE = 100
+
+# Per-table chain-ordering directions: deterministic pseudo-random
+# hyperplanes from ids outside the bucketing tables' range (both
+# engines regenerate the identical coefficients; the projection is a
+# left-associated dot DIVIDED BY THE NORM — cosine is scale-invariant,
+# so the ordering must be too: the 10× corpus has near-dup pairs whose
+# norms differ ×1.3, which put a RAW projection 0.4 apart while the
+# normalized one moves ≤ |unit delta|·|g| — measured as exactly the 92
+# missed same-bucket pairs of the first r7 cut).
+def _chain_coefs(t: int) -> list[float]:
+    return random_hyperplane_coefs(9 + t, 0)
+
+
+def _chain_proj(v: Column, norm: Column, t: int) -> Column:
+    coefs = F.array(*[F.lit(c) for c in _chain_coefs(t)])
+    return dot(v, coefs) / norm
+
+
+def _chain_proj_sql(t: int) -> str:
+    proj = " + ".join(
+        f"v[{i}] * {_chain_coefs(t)[i - 1]!r}" for i in range(1, DIM + 1)
     )
-    return (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= MAX_LSH_BUCKET_VECS)
-        .drop("__rn")
+    return f"({proj}) / norm"
+
+
+def _rot_dims(t: int) -> list[int]:
+    """1-based dim order for table t's rotated sign signature: starts at
+    the table's own dim group (whose first lsh_bits are the bucket — so
+    within a bucket the signature prefix is constant) and wraps."""
+    return [((t * DIMS_PER_TABLE + j) % DIM) + 1 for j in range(DIM)]
+
+
+def _rot_sig(v: Column, t: int) -> Column:
+    """Full 64-dim sign pattern as a string, read in table t's rotated
+    dim order — the PRIMARY chain-ordering key. A cos≥0.999 pair agrees
+    on (almost) every sign, so identical-pattern vectors sort into one
+    tiny run (sf10: max same-pattern group 196, p99 = 18) regardless of
+    how many thousand non-near-dup vectors share the 13-bit bucket; the
+    per-table ROTATION varies which dims are high-order, so a pair
+    differing in one near-zero element's sign still sorts adjacent in
+    the tables where that dim is late."""
+    return F.concat(*[
+        F.when(F.element_at(v, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in _rot_dims(t)
+    ])
+
+
+def _rot_sig_sql(t: int) -> str:
+    return " || ".join(
+        f"CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END" for d in _rot_dims(t)
+    )
+
+# (sf_dir) -> Observation counting vectors the fence dropped, collected
+# for free during the first action on the fenced pair plan (the
+# no-silent-caps rule applied IN the query path, not just in bench.py).
+_LSH_FENCE_OBS: dict[str, "object"] = {}
+
+
+def _fence_marked(corpus: DataFrame) -> DataFrame:
+    """Bucket members with their fence rank: ``__rn`` (per-bucket rank,
+    twin-group members adjacent) and ``__grn`` (the LAST rank of the
+    row's twin group — the pair-aware cutoff key: a group is kept or
+    dropped WHOLE, so the fence can never split a base from its twin
+    regardless of singleton parity)."""
+    marked = corpus.withColumn(
+        "__pg", F.pmod(F.col("vec_id"), F.lit(TWIN_OFFSET))
+    )
+    wrn = Window.partitionBy("bucket").orderBy("__pg", "vec_id")
+    wg = Window.partitionBy("bucket", "__pg")
+    return marked.withColumn("__rn", F.row_number().over(wrn)).withColumn(
+        "__grn", F.max("__rn").over(wg)
+    )
+
+
+def _fence_buckets(
+    corpus: DataFrame,
+    cap: int = MAX_LSH_BUCKET_VECS,
+    obs_key: str | None = None,
+) -> DataFrame:
+    """Keep only whole twin-groups fitting within the first ``cap``
+    ranks per bucket. With ``obs_key``, attach an Observation counting
+    dropped vectors — populated during the caller's own action."""
+    out = _fence_marked(corpus)
+    if obs_key is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lsh_fence:{obs_key}")
+        out = out.observe(
+            obs,
+            F.count(F.when(F.col("__grn") > cap, 1)).alias("dropped_vecs"),
+        )
+        _LSH_FENCE_OBS[obs_key] = obs
+    return out.filter(F.col("__grn") <= cap).drop("__pg", "__rn", "__grn")
+
+
+def corpus_max_vec_id(spark: SparkSession, sf_dir: str) -> int:
+    """Max vec_id, memoized per corpus snapshot (planning statistic —
+    guards the TWIN_OFFSET id-space contract)."""
+    return index_store.cached_value(
+        spark, _emb_table(sf_dir), "max_vec_id",
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id")).collect()[0][0],
     )
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    max_id = corpus_max_vec_id(spark, sf_dir)
+    if max_id is not None and max_id >= TWIN_OFFSET:
+        raise ValueError(
+            f"near-dup corpus id space exhausted: max vec_id {max_id} >= "
+            f"TWIN_OFFSET {TWIN_OFFSET}; widen TWIN_OFFSET (and its SQL "
+            "mirrors) before building twins, or base+twin ids collide"
+        )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     bits = lsh_bits(corpus_count(spark, sf_dir))  # granularity from base corpus size
     perturbed = emb.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
         F.transform(F.col("v"), lambda x: x + F.lit(1e-4)).alias("v"),
     )
     return with_norm(
@@ -401,29 +524,55 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_fence_dropped(spark: SparkSession, sf_dir: str) -> int:
-    """Vectors the near-dup bucket fence drops at this corpus — the
-    repo's no-silent-caps rule: bench.py records this next to the basket
-    fence's drop count."""
-    occ = _near_dup_corpus(spark, sf_dir).groupBy("bucket").count()
-    over = occ.agg(
-        F.sum(
-            F.greatest(F.col("count") - MAX_LSH_BUCKET_VECS, F.lit(0))
-        ).alias("dropped")
-    ).collect()[0][0]
-    return int(over or 0)
+    """Vectors the near-dup bucket fence drops at this corpus, counted
+    standalone (bench.py records this next to the basket fence's drop
+    count). The SAME count rides the query plan itself as an Observation
+    — see near_dup_fence_observed_drops."""
+    over = (
+        _fence_marked(_near_dup_corpus(spark, sf_dir))
+        .filter(F.col("__grn") > MAX_LSH_BUCKET_VECS)
+        .count()
+    )
+    return int(over)
 
 
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: the corpus is
+def near_dup_fence_observed_drops(sf_dir: str) -> int | None:
+    """Fence drops observed during the last executed
+    embedding_near_dup_pairs action for ``sf_dir`` (None if the query
+    has not run in this session). Zero extra jobs — the count is
+    collected by the query's own plan; pipelines log it into the run
+    audit (pipelines.etl.RunAudit) so production runs carry the
+    no-silent-caps evidence."""
+    obs = _LSH_FENCE_OBS.get(sf_dir)
+    if obs is None:
+        return None
+    try:
+        return int(obs.get["dropped_vecs"])
+    except Exception:  # noqa: BLE001 — observation not yet collected
+        return None
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    max_bucket_vecs: int = MAX_LSH_BUCKET_VECS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIR enumeration: the corpus is
     embeddings ∪ slightly-perturbed copies (every element +1e-4, vec_id +
-    1_000_000 — deterministic), candidate pairs restricted to the table-0
-    sign-LSH bucket at lsh_bits(n) granularity (the scale path — a
-    perturbed twin shares the bucket unless an element sits within 1e-4
-    of zero; the oracle computes the identical bucket, so parity holds
-    either way), each bucket fenced to MAX_LSH_BUCKET_VECS candidates
-    (see _fence_buckets — linear-in-n candidate bound on clone-heavy
-    corpora), verified by cosine >= 0.999."""
-    corpus = _fence_buckets(_near_dup_corpus(spark, sf_dir))
+    TWIN_OFFSET — deterministic), candidate pairs restricted to the
+    table-0 sign-LSH bucket at lsh_bits(n) granularity (a perturbed twin
+    usually shares the bucket; when an element sits within 1e-4 of zero
+    it may not — the oracle computes the identical bucket, so parity
+    holds either way), each bucket fenced to ``max_bucket_vecs``
+    candidates by whole twin-groups (see _fence_buckets — linear-in-n
+    candidate bound on clone-heavy corpora), verified by cosine >=
+    NEAR_DUP_COS. The fence bounds COST by trading recall on clone-mass
+    buckets; the drop count is observable in-plan
+    (near_dup_fence_observed_drops) and the recall trade is measured by
+    near_dup_recall_eval — use near_dup_clusters when cluster membership
+    (full recall, linear cost) is the goal."""
+    corpus = _fence_buckets(
+        _near_dup_corpus(spark, sf_dir), cap=max_bucket_vecs, obs_key=sf_dir
+    )
     a = corpus.alias("a")
     b = corpus.alias("b")
     pairs = a.join(
@@ -436,32 +585,305 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot(F.col("a.v"), F.col("b.v"))
          / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
     )
-    return pairs.filter(F.col("cos") >= 0.999).select("vec_a", "vec_b")
+    return pairs.filter(F.col("cos") >= NEAR_DUP_COS).select("vec_a", "vec_b")
 
 
-EMBEDDING_NEAR_DUP_SQL = f"""
-WITH {_PARAMS_SQL}, corpus AS (
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER membership with no fence and no drops —
+    the recall-preserving scale path for clone-heavy corpora (r7,
+    closing the r6 fence's measured 71%-of-vectors recall gap at sf10).
+
+    For EACH of the N_TABLES sign-LSH tables (disjoint dim groups),
+    bucket members are ranked by (norm-scaled projection on that
+    table's chain direction, vec_id) — see _chain_coefs — and each
+    vector pairs only with its NEAR_DUP_CHAIN_W successors: candidates
+    stay ≤ N_TABLES·W·n at ANY bucket occupancy (a 6,587-vector
+    clone-mass bucket contributes 6587·16 ≈ 105k candidates per table
+    instead of C(6587,2) ≈ 21.7 M). Verified chain edges (cosine >=
+    NEAR_DUP_COS) from all tables feed ONE connected-components pass:
+    a true pair only needs adjacency in ANY table's ordering (or a
+    transitive chain through its clone family) — multi-table union
+    compounds the per-table miss probability, the same recall lever
+    multi-table LSH uses for top-k. Measured by near_dup_recall_eval,
+    not claimed. Returns (vec_id, canonical_id = min reachable id);
+    singletons (no verified edge) don't appear, as in dedup_clusters.
+    The assignment is a fingerprint-keyed stored index artifact (built
+    once per corpus snapshot, shared across sessions; an upsert
+    invalidates).
+
+    Scale shape: per table, one ranking window per bucket (the same
+    shuffle the chain join needs) and a W-way equi-join on (bucket,
+    rank); then min-label propagation whose iteration count is the max
+    chain diameter ≈ family_size / W."""
+    from .components import connected_components
+
+    def build() -> DataFrame:
+        base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
+        bits = lsh_bits(corpus_count(spark, sf_dir))
+        all_edges = None
+        for t in range(N_TABLES):
+            ct = base.select(
+                "vec_id", "v", "norm",
+                sign_bucket(F.col("v"), t, bits).alias("bucket"),
+                _rot_sig(F.col("v"), t).alias("__sig"),
+                _chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
+            )
+            w = Window.partitionBy("bucket").orderBy(
+                "__sig", "__proj", "vec_id"
+            )
+            r = ct.withColumn("__rn", F.row_number().over(w))
+            left = (
+                r.select(
+                    "bucket", F.col("vec_id").alias("va"),
+                    F.col("v").alias("av"), F.col("norm").alias("an"),
+                    F.col("__rn").alias("ra"),
+                )
+                .withColumn(
+                    "__k",
+                    F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
+                )
+                .withColumn("rb", F.col("ra") + F.col("__k"))
+            )
+            right = r.select(
+                "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+                F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
+            )
+            edges_t = (
+                left.join(right, ["bucket", "rb"])
+                .filter(
+                    dot(F.col("av"), F.col("bv"))
+                    / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
+                )
+                .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+            )
+            all_edges = (
+                edges_t if all_edges is None
+                else all_edges.unionByName(edges_t)
+            )
+        # max_iter: min-labels travel one chain hop per iteration; the
+        # worst family diameter is family_size / W (sf10 families ≈ 200
+        # members → ~13 hops). 64 leaves 4-5× headroom; convergence is
+        # detected, so typical corpora stop after 2-3 rounds.
+        return connected_components(all_edges, max_iter=64).select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("canonical_id"),
+        )
+
+    return index_store.stored_df(
+        spark, _emb_table(sf_dir), "near_dup_clusters", build
+    )
+
+
+def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for near-duplicate detection — the twin of
+    ann_recall_eval on the dedup side (r7, VERDICT r6 #1): exact
+    ground-truth near-dup pairs are computed brute-force for a BOUNDED
+    sample (the N_QUERIES base vectors and their twins — O(sample ×
+    corpus), the same cost shape as brute_force_topk), then each
+    production path is scored against them:
+
+    - ``fenced_pairs``: pair recovered iff embedding_near_dup_pairs
+      (bucket + pair-aware fence) emits it — measures what the
+      MAX_LSH_BUCKET_VECS cost fence trades away on clone-mass corpora.
+    - ``hybrid_clusters``: pair recovered iff near_dup_clusters puts
+      both ends in one component — the no-drop chain-link path.
+
+    The sample is HASH-RANKED (md5 of the id — the k-means seed
+    technique), not lowest-id: the fence ordering keeps low-id twin
+    groups first, so an id-prefix sample would sit entirely inside the
+    kept set and read recall 1.0 no matter how much the fence drops.
+    Hash ranking places sample vectors uniformly across the fence
+    order, so dropped mass shows up in the number.
+
+    Retuning the fence cap, chain width, or lsh_bits must keep this
+    green; bench.py records the recall values next to the fence drop
+    counts."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sample = (
+        corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_ND_SAMPLE)
+        .select(
+            F.col("vec_id").alias("sid"), F.col("v").alias("sv"),
+            F.col("norm").alias("sn"),
+        )
+    )
+    exact = (
+        sample.join(corpus, F.col("vec_id") != F.col("sid"))
+        .filter(
+            dot(F.col("sv"), F.col("v")) / (F.col("sn") * F.col("norm"))
+            >= NEAR_DUP_COS
+        )
+        .select(
+            F.least("sid", "vec_id").alias("vec_a"),
+            F.greatest("sid", "vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    fenced = embedding_near_dup_pairs(spark, sf_dir)
+    clusters = near_dup_clusters(spark, sf_dir)
+    rec_fenced = exact.join(fenced, ["vec_a", "vec_b"], "left_semi")
+    rec_hybrid = (
+        exact
+        .join(
+            clusters.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("canonical_id").alias("comp_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            clusters.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("canonical_id").alias("comp_b"),
+            ),
+            "vec_b",
+        )
+        .filter(F.col("comp_a") == F.col("comp_b"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = (
+        rec_fenced.agg(F.count(F.lit(1)).alias("n_recovered"))
+        .select(F.lit("fenced_pairs").alias("method"), "n_recovered")
+        .unionByName(
+            rec_hybrid.agg(F.count(F.lit(1)).alias("n_recovered"))
+            .select(F.lit("hybrid_clusters").alias("method"), "n_recovered")
+        )
+    )
+    return rows.crossJoin(n_exact).select(
+        "method", "n_exact", "n_recovered",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_recovered").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )
+
+
+def _vdot_sql(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, DIM + 1))
+
+
+def _vnorm_sql(a: str) -> str:
+    return f"sqrt({_vdot_sql(a, a)})"
+
+
+# Shared near-dup substrate: base ∪ twin corpus, table-0 buckets, norms
+# (the SQL mirror of _near_dup_corpus).
+_ND_CORPUS_SQL = f"""corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.0001) FROM embeddings
-), b0 AS (
-  SELECT vec_id, v, {_bucket_sql(0, elem="v", bits_expr="params.bits")} AS bucket
+  SELECT vec_id + {TWIN_OFFSET}, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.0001) FROM embeddings
+), nb AS (
+  SELECT vec_id, v, {_bucket_sql(0, elem="v", bits_expr="params.bits")} AS bucket,
+         {_vnorm_sql('v')} AS norm
   FROM corpus, params
-), b AS (
-  SELECT vec_id, v, bucket FROM (
-    SELECT vec_id, v, bucket,
-           ROW_NUMBER() OVER (PARTITION BY bucket
-                              ORDER BY vec_id % 1000000, vec_id) AS rn
-    FROM b0
-  ) WHERE rn <= {MAX_LSH_BUCKET_VECS}
-), dotted AS (
-  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         {" + ".join(f"a.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))} AS dot,
-         sqrt({" + ".join(f"a.v[{i}] * a.v[{i}]" for i in range(1, DIM + 1))}) AS na,
-         sqrt({" + ".join(f"b2.v[{i}] * b2.v[{i}]" for i in range(1, DIM + 1))}) AS nb
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)"""
+
+# Pair-aware fence mirror of _fence_buckets: a twin group (vec_id mod
+# TWIN_OFFSET) is kept only when its LAST member ranks within the cap.
+_ND_FENCED_SQL = f"""fencedb AS (
+  SELECT vec_id, v, bucket, norm FROM (
+    SELECT vec_id, v, bucket, norm,
+           MAX(rn) OVER (PARTITION BY bucket, pg) AS grn
+    FROM (
+      SELECT vec_id, v, bucket, norm, vec_id % {TWIN_OFFSET} AS pg,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY vec_id % {TWIN_OFFSET}, vec_id) AS rn
+      FROM nb
+    )
+  ) WHERE grn <= {MAX_LSH_BUCKET_VECS}
+)"""
+
+_ND_FENCED_PAIRS_SQL = f"""fenced AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM fencedb a JOIN fencedb b2
+    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}
+)"""
+
+# Chain-link cluster mirror of near_dup_clusters: per table, per-bucket
+# normalized-projection rank, W-successor candidate edges, cosine
+# verify; edges from all tables union into min-reachable-id via
+# recursive CTE (label propagation converges to exactly this fixpoint).
+def _chain_table_sql(t: int) -> str:
+    return f"""rt{t} AS (
+  SELECT vec_id, v, norm, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY sig, proj, vec_id) AS rn
+  FROM (
+    SELECT vec_id, v, norm,
+           {_bucket_sql(t, elem="v", bits_expr="params.bits")} AS bucket,
+           {_rot_sig_sql(t)} AS sig,
+           {_chain_proj_sql(t)} AS proj
+    FROM nb, params
+  )
+)"""
+
+
+def _chain_edges_sql(t: int) -> str:
+    return f"""  SELECT a.vec_id AS va, b2.vec_id AS vb
+  FROM rt{t} a JOIN rt{t} b2
+    ON a.bucket = b2.bucket AND b2.rn - a.rn BETWEEN 1 AND {NEAR_DUP_CHAIN_W}
+  WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}"""
+
+
+_ND_CLUSTERS_SQL = (
+    ",\n".join(_chain_table_sql(t) for t in range(N_TABLES))
+    + ", e0 AS (\n"
+    + "\n  UNION ALL\n".join(_chain_edges_sql(t) for t in range(N_TABLES))
+    + f"""
+), nd_edges AS (
+  SELECT va AS src, vb AS dst FROM e0
+  UNION
+  SELECT vb, va FROM e0
+), reach(node, target) AS (
+  SELECT src, src FROM nd_edges
+  UNION
+  SELECT e.src, rr.target FROM nd_edges e JOIN reach rr ON e.dst = rr.node
+), nd_clusters AS (
+  SELECT node AS vec_id, MIN(target) AS canonical_id
+  FROM reach GROUP BY node
+)"""
 )
-SELECT vec_a, vec_b FROM dotted WHERE dot / (na * nb) >= 0.999
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH {_PARAMS_SQL}, {_ND_CORPUS_SQL}, {_ND_FENCED_SQL}, {_ND_FENCED_PAIRS_SQL}
+SELECT vec_a, vec_b FROM fenced
+"""
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_PARAMS_SQL}, {_ND_CORPUS_SQL}, {_ND_CLUSTERS_SQL}
+SELECT vec_id, canonical_id FROM nd_clusters
+"""
+
+NEAR_DUP_RECALL_SQL = f"""
+WITH RECURSIVE {_PARAMS_SQL}, {_ND_CORPUS_SQL}, {_ND_FENCED_SQL},
+{_ND_FENCED_PAIRS_SQL}, {_ND_CLUSTERS_SQL}, nd_sample AS (
+  SELECT vec_id, v, norm FROM nb
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= {N_ND_SAMPLE}
+), nd_exact AS (
+  SELECT DISTINCT LEAST(s.vec_id, c.vec_id) AS vec_a,
+                  GREATEST(s.vec_id, c.vec_id) AS vec_b
+  FROM nd_sample s JOIN nb c ON c.vec_id <> s.vec_id
+  WHERE ({_vdot_sql('s.v', 'c.v')}) / (s.norm * c.norm) >= {NEAR_DUP_COS}
+), counts AS (
+  SELECT 'fenced_pairs' AS method,
+         (SELECT COUNT(*) FROM nd_exact) AS n_exact,
+         (SELECT COUNT(*) FROM nd_exact e
+          JOIN fenced f ON e.vec_a = f.vec_a AND e.vec_b = f.vec_b)
+           AS n_recovered
+  UNION ALL
+  SELECT 'hybrid_clusters',
+         (SELECT COUNT(*) FROM nd_exact),
+         (SELECT COUNT(*) FROM nd_exact e
+          JOIN nd_clusters ca ON e.vec_a = ca.vec_id
+          JOIN nd_clusters cb ON e.vec_b = cb.vec_id
+          WHERE ca.canonical_id = cb.canonical_id) AS n_recovered
+)
+SELECT method, n_exact, n_recovered,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_recovered AS DOUBLE) / n_exact END AS recall
+FROM counts
 """
 
 
@@ -887,5 +1309,7 @@ EXT_QUERIES = {
     "lsh_bucketed_topk": (lsh_bucketed_topk, LSH_BUCKETED_TOPK_SQL),
     "embedding_label_centroids": (embedding_label_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, EMBEDDING_NEAR_DUP_SQL),
+    "near_dup_clusters": (near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
+    "near_dup_recall_eval": (near_dup_recall_eval, NEAR_DUP_RECALL_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
 }

@@ -1,0 +1,116 @@
+"""Near-duplicate detection: the pair-aware fence, its in-plan drop
+observation, the chain-link cluster hybrid, and the recall gate (r7 —
+VERDICT r6 next-round #1 and the ADVICE fence findings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.extensions.similarity import (
+    MAX_LSH_BUCKET_VECS,
+    TWIN_OFFSET,
+    _fence_buckets,
+    _near_dup_corpus,
+    embedding_near_dup_pairs,
+    lsh_fence_dropped,
+    near_dup_fence_observed_drops,
+    near_dup_recall_eval,
+)
+
+
+def _twin_corpus(spark, n_groups: int, missing_twins=()):
+    """One bucket of n_groups twin groups (base i, twin i+TWIN_OFFSET),
+    minus the twins listed in missing_twins — the singleton-parity shape
+    from the ADVICE finding."""
+    rows = []
+    for i in range(n_groups):
+        rows.append((i, 0))
+        if i not in missing_twins:
+            rows.append((i + TWIN_OFFSET, 0))
+    return spark.createDataFrame(rows, "vec_id long, bucket int")
+
+
+def test_fence_never_splits_a_twin_group(spark):
+    """With an unpaired singleton shifting rank parity, the r6 even-cap
+    fence could land BETWEEN a base and its twin; the pair-aware cutoff
+    must keep or drop each twin group WHOLE."""
+    # 41 groups; group 0's twin missing -> 81 rows in one bucket, cap 64:
+    # the boundary group's rows straddle an even cap under rank-count
+    # logic, so this is exactly the parity shape that split before.
+    corpus = _twin_corpus(spark, 41, missing_twins=(0,))
+    kept = _fence_buckets(corpus).select("vec_id").toPandas()["vec_id"]
+    kept_groups = {}
+    for v in kept:
+        kept_groups.setdefault(int(v) % TWIN_OFFSET, []).append(int(v))
+    full_groups = {
+        i: ([i] if i == 0 else [i, i + TWIN_OFFSET]) for i in range(41)
+    }
+    for g, members in kept_groups.items():
+        assert sorted(members) == full_groups[g], (
+            f"group {g} split: kept {members}"
+        )
+    assert len(kept) <= MAX_LSH_BUCKET_VECS
+
+
+def test_fence_cap_is_a_parameter(spark):
+    corpus = _twin_corpus(spark, 10)
+    assert _fence_buckets(corpus, cap=4).count() == 4
+    assert _fence_buckets(corpus, cap=20).count() == 20
+
+
+def test_fence_drops_observed_in_query_plan(spark, sf_dir):
+    """The drop count rides the query's own plan (Observation): after
+    any action it must equal the standalone counter — the no-silent-caps
+    rule applied in the query path itself (ADVICE r6 #1)."""
+    standalone = lsh_fence_dropped(spark, sf_dir)
+    embedding_near_dup_pairs(spark, sf_dir).count()
+    assert near_dup_fence_observed_drops(sf_dir) == standalone
+
+
+def test_twin_offset_id_space_guarded(spark, tmp_path):
+    """A corpus whose vec_ids reach TWIN_OFFSET would collide base and
+    twin ids — the build must refuse instead of corrupting pairs."""
+    path = str(tmp_path / "bigids")
+    spark.createDataFrame(
+        [(TWIN_OFFSET + 5, 0, [0.1] * 64)],
+        "vec_id long, label int, embedding array<float>",
+    ).write.parquet(f"{path}/embeddings.parquet")
+    with pytest.raises(ValueError, match="TWIN_OFFSET"):
+        _near_dup_corpus(spark, path)
+
+
+def test_recall_gate_values(spark, sf_dir):
+    """The gate must (a) measure both methods, (b) find the hybrid at
+    full recall on the graded corpora, (c) show the fence's trade as a
+    number < 1 when it drops vectors (it does at sf0.001: bucket space
+    4 bits < corpus), never a silent 1.0."""
+    rows = {r["method"]: r for r in near_dup_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"fenced_pairs", "hybrid_clusters"}
+    for r in rows.values():
+        assert r["n_exact"] > 50  # hash sample found real ground truth
+    assert rows["hybrid_clusters"]["recall"] == 1.0
+    assert 0.8 <= rows["fenced_pairs"]["recall"] <= 1.0
+    if lsh_fence_dropped(spark, sf_dir) > 0:
+        # sampled uniformly, heavy drops must show; tiny drop counts can
+        # still read 1.0 — only assert the direction
+        assert rows["fenced_pairs"]["recall"] <= rows["hybrid_clusters"]["recall"]
+
+
+def test_hybrid_clusters_contain_twin_pairs(spark, sf_dir):
+    """Every base vector and its planted twin must share a component
+    (the minimum bar for 'near-dup clusters')."""
+    from e_commerce_etl_pipeline_spark.extensions.similarity import (
+        near_dup_clusters,
+    )
+
+    cl = near_dup_clusters(spark, sf_dir)
+    a = cl.select(F.col("vec_id").alias("base"), F.col("canonical_id").alias("ca"))
+    b = cl.select(
+        (F.col("vec_id") - TWIN_OFFSET).alias("base"),
+        F.col("canonical_id").alias("cb"),
+    )
+    joined = a.filter(F.col("base") < TWIN_OFFSET).join(b, "base")
+    n = joined.count()
+    assert n > 0
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0

@@ -19,6 +19,9 @@ import __spark_entry__ as entrymod
 NESTED_LOOP_OK = {
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "ann_recall_eval",
     "embedding_near_dup_pairs", "token_budget_sample",
+    # recall gate: bounded hash-ranked sample (100 rows) × corpus ground
+    # truth — the same O(Q×N) shape as brute_force_topk
+    "near_dup_recall_eval",
     # broadcast-centroid assignment (≤ MAX_CELLS rows), same as ivf_topk
     "embedding_cluster_summary",
     # int8 brute force: same O(Q×N) inequality-join demo as brute_force_topk
