@@ -84,6 +84,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     prev_sum = None
+    converged = False
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -109,9 +110,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         _drop_checkpoint_blocks(labels)
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged:
+        # No-silent-caps rule (ADVICE r7): exhausting max_iter while the
+        # label sum was still decreasing means some chain's diameter
+        # exceeds the budget — returning the partial labels would
+        # silently diverge from the oracle's exact transitive closure.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} (label sum still decreasing); raise max_iter "
+            f"for this graph's diameter"
+        )
     return labels
 
 

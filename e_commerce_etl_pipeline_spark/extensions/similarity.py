@@ -539,16 +539,27 @@ def lsh_fence_dropped(spark: SparkSession, sf_dir: str) -> int:
 def near_dup_fence_observed_drops(sf_dir: str) -> int | None:
     """Fence drops observed during the last executed
     embedding_near_dup_pairs action for ``sf_dir`` (None if the query
-    has not run in this session). Zero extra jobs — the count is
-    collected by the query's own plan; pipelines log it into the run
-    audit (pipelines.etl.RunAudit) so production runs carry the
-    no-silent-caps evidence."""
+    has not run in this session — including when a plan was BUILT but
+    never acted on; the non-blocking probe below matters because
+    Observation.get would wait forever in that case). Zero extra jobs —
+    the count is collected by the query's own plan;
+    pipelines.etl.near_dup_pipeline logs it into the run audit's
+    ``fence_dropped_rows`` column (RunAudit) so production runs carry
+    the no-silent-caps evidence."""
     obs = _LSH_FENCE_OBS.get(sf_dir)
     if obs is None:
         return None
     try:
+        # obs.get BLOCKS forever when the observed plan was built but
+        # never acted on (ADVICE r7 — verified: getRow waits, no
+        # exception), so probe the JVM's non-blocking accessor first.
+        # getRowOrEmpty returns an empty Option until the first action
+        # completes; getOrEmpty is unusable here (NPEs on the null row
+        # in Spark 4.1.2).
+        if obs._jo.getRowOrEmpty().isEmpty():
+            return None
         return int(obs.get["dropped_vecs"])
-    except Exception:  # noqa: BLE001 — observation not yet collected
+    except Exception:  # noqa: BLE001 — JVM accessor shape changed
         return None
 
 

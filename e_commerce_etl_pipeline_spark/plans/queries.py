@@ -311,8 +311,11 @@ def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering is identical to (ts DESC, event_id DESC) because event_id is
     unique and < 10^12 (asserted range of every corpus here; callers
     beyond that scale re-widen the shift). event_id and ts unpack exactly
-    from the max (integer floor-div/mod; unix_micros roundtrips exactly —
-    UTC session, micro precision). Same rows, same oracle.
+    from the max via integral ``div``/``pmod`` — NOT ``floor(x/shift)``,
+    whose decimal(38,6) HALF_UP intermediate rounds ts +1us whenever
+    event_id >= 999999500000, i.e. inside the documented id contract
+    (r8, ADVICE). unix_micros roundtrips exactly — UTC session, micro
+    precision. Same rows, same oracle.
     ``operators/dedup.keep_newest`` keeps the generic window form for
     callers that need the full ranked output or nullable keys."""
     ev = load_table(spark, sf_dir, "events")
@@ -325,8 +328,12 @@ def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return newest.select(
         "user_id", "event_type",
         F.pmod(F.col("__pk"), shift).cast("long").alias("event_id"),
+        # `div` is exact integral division on decimals (probed: returns
+        # LongType, no rounding); floor(__pk / shift) is NOT exact — the
+        # division plans as decimal(38,6) HALF_UP, decoding ts one
+        # microsecond high for event_id >= 999999500000.
         F.timestamp_micros(
-            F.floor(F.col("__pk") / shift).cast("long")
+            F.expr(f"__pk div {10**12}")
         ).alias("ts"),
         "value",
     )

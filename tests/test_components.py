@@ -22,14 +22,34 @@ def test_superseded_generations_release_storage(spark):
     sc = spark.sparkContext._jsc.sc()
     before = {info.id() for info in sc.getRDDStorageInfo()}
 
-    # a long chain forces several propagation iterations
+    # a long chain forces several propagation iterations; diameter 39
+    # needs max_iter > 39 to actually converge (the r8 convergence guard
+    # now raises instead of silently returning partial labels, which is
+    # what the old default max_iter=20 was doing here)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "src long, dst long"
     )
-    result = connected_components(edges)
+    result = connected_components(edges, max_iter=64)
     assert result.count() == 40
+    assert all(r.component == 1 for r in result.collect())
 
     after = [info for info in sc.getRDDStorageInfo() if info.id() not in before]
     # final generation (1 RDD) may remain; superseded generations and the
     # symmetrized edge cache must be gone
     assert len(after) <= 1, [i.id() for i in after]
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """No-silent-caps (ADVICE r7): exhausting max_iter while labels are
+    still changing must raise, not return labels that diverge from the
+    oracle's exact transitive closure."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    # with budget for the diameter the same graph resolves exactly
+    out = connected_components(edges, max_iter=20)
+    assert all(r.component == 1 for r in out.collect())

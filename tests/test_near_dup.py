@@ -114,3 +114,41 @@ def test_hybrid_clusters_contain_twin_pairs(spark, sf_dir):
     n = joined.count()
     assert n > 0
     assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_observed_drops_nonblocking_before_action(spark, sf_dir):
+    """ADVICE r7: a plan that was BUILT but never acted on must read as
+    None promptly — Observation.get would block forever; the accessor
+    probes the JVM's non-blocking getRowOrEmpty first."""
+    import time
+
+    # building the plan installs a FRESH (uncollected) Observation
+    embedding_near_dup_pairs(spark, sf_dir)
+    t0 = time.time()
+    assert near_dup_fence_observed_drops(sf_dir) is None
+    assert time.time() - t0 < 5.0
+    # ...and after the action the same Observation yields the count
+    embedding_near_dup_pairs(spark, sf_dir).count()
+    assert near_dup_fence_observed_drops(sf_dir) is not None
+
+
+def test_near_dup_pipeline_records_fence_drops_in_audit(spark, sf_dir, tmp_path):
+    """The no-silent-caps evidence must reach the production run audit
+    (VERDICT r6 #7 / r7 #4): near_dup_pipeline's audit row carries the
+    in-plan observed drop count in fence_dropped_rows."""
+    from e_commerce_etl_pipeline_spark.pipelines.etl import (
+        RunAudit,
+        near_dup_pipeline,
+    )
+
+    audit = RunAudit(spark, str(tmp_path / "audit"))
+    out = near_dup_pipeline(
+        spark, sf_dir, str(tmp_path / "pairs"), audit=audit
+    )
+    standalone = lsh_fence_dropped(spark, sf_dir)
+    assert out["fence_dropped_rows"] == standalone
+    row = audit.runs().filter(F.col("source_name") == "near_dup_pairs").collect()
+    assert len(row) == 1
+    assert row[0]["status"] == "SUCCESS"
+    assert row[0]["fence_dropped_rows"] == standalone
+    assert row[0]["records_loaded"] == out["pairs"]
