@@ -53,6 +53,13 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
         pass
 
 
+# Diagnostics from the most recent connected_components run in this
+# process: {"iterations": int, "converged": bool}. Written at the end of
+# every call; tools/bench_near_dup.py reports it so scale runs document
+# how many propagation rounds (≈ max chain diameter / 1) a corpus cost.
+LAST_RUN_STATS: dict = {}
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """``edges``: (src, dst) undirected. Returns (node, component) with
     component = min node id reachable. Iterates until no label changes.
@@ -85,8 +92,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     prev_sum = None
     converged = False
+    iterations = 0
 
     for _ in range(max_iter):
+        iterations += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -114,6 +123,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         prev_sum = cur_sum
     sym.unpersist()
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update({"iterations": iterations, "converged": converged})
     if not converged:
         # No-silent-caps rule (ADVICE r7): exhausting max_iter while the
         # label sum was still decreasing means some chain's diameter
