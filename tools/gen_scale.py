@@ -24,9 +24,11 @@ TPC-H itself scales (fixed dimension domains, scaled key spaces):
   of each component (preserves norm order-of-magnitude, de-duplicates
   neighbors across copies).
 
-Usage: python tools/gen_scale.py SRC_DIR DST_DIR MULTIPLIER [HOT_PCT]
+Usage: python tools/gen_scale.py SRC_DIR DST_DIR MULTIPLIER [HOT_PCT] [TABLES]
 e.g.:  python tools/gen_scale.py /root/testdata/sf0.1 .localdata/sf1 10
        python tools/gen_scale.py /root/testdata/sf0.1 .localdata/sf1skew 10 30
+       python tools/gen_scale.py .localdata/sf10 .localdata/sf100probe 10 0 \
+           documents,lineitem   # subset gen for targeted scale probes
 
 HOT_PCT > 0 plants JOIN-KEY SKEW in events: that percentage of event
 rows is rerouted to user_id 0 (one hot user), deterministically by
@@ -77,6 +79,10 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf1"
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     hot_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
 
     spark = get_spark("gen-scale")
     os.makedirs(dst, exist_ok=True)
@@ -94,81 +100,102 @@ def main() -> None:
     def key_space(name, col):
         return read(name).agg(F.max(col)).collect()[0][0] + 1
 
-    ko = key_space("orders", "o_orderkey")
-    kc = key_space("customer", "c_custkey")
-    kp = key_space("part", "p_partkey")
-    ks = key_space("supplier", "s_suppkey")
-    kd = key_space("documents", "doc_id")
-    kv = key_space("embeddings", "vec_id")
-    ke = key_space("events", "event_id")
-    ku = key_space("events", "user_id")
+    if wanted("orders") or wanted("lineitem"):
+        ko = key_space("orders", "o_orderkey")
+    if wanted("customer") or wanted("orders"):
+        kc = key_space("customer", "c_custkey")
+    if wanted("part") or wanted("lineitem"):
+        kp = key_space("part", "p_partkey")
+    if wanted("supplier") or wanted("lineitem"):
+        ks = key_space("supplier", "s_suppkey")
+    if wanted("documents"):
+        kd = key_space("documents", "doc_id")
+    if wanted("embeddings"):
+        kv = key_space("embeddings", "vec_id")
+    if wanted("events"):
+        ke = key_space("events", "event_id")
+        ku = key_space("events", "user_id")
 
     # fixed dimensions: straight copies
     for name in ("region", "nation"):
+        if not wanted(name):
+            continue
         read(name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"wrote {name}", flush=True)
 
-    write(scale_table(read("customer"), m, {"c_custkey": kc}, spark),
-          "customer", 4)
-    write(scale_table(read("supplier"), m, {"s_suppkey": ks}, spark),
-          "supplier", 1)
-    write(scale_table(read("part"), m, {"p_partkey": kp}, spark), "part", 4)
-    write(
-        scale_table(read("orders"), m, {"o_orderkey": ko, "o_custkey": kc}, spark),
-        "orders", 8,
-    )
-    write(
-        scale_table(
-            read("lineitem"), m,
-            {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}, spark,
-        ),
-        "lineitem", 16,
-    )
-    events = scale_table(read("events"), m, {"event_id": ke, "user_id": ku}, spark)
-    if hot_pct > 0:
-        # md5-derived routing (not pmod(event_id): offsets make raw ids
-        # non-uniform mod 100) — deterministic, so re-runs are identical
-        events = events.withColumn(
-            "user_id",
-            F.when(
-                F.pmod(F.abs(F.hash(F.col("event_id"))), F.lit(100)) < hot_pct,
-                F.lit(0).cast("long"),
-            ).otherwise(F.col("user_id")),
+    if wanted("customer"):
+        write(scale_table(read("customer"), m, {"c_custkey": kc}, spark),
+              "customer", 4)
+    if wanted("supplier"):
+        write(scale_table(read("supplier"), m, {"s_suppkey": ks}, spark),
+              "supplier", 1)
+    if wanted("part"):
+        write(scale_table(read("part"), m, {"p_partkey": kp}, spark), "part", 4)
+    if wanted("orders"):
+        write(
+            scale_table(read("orders"), m,
+                        {"o_orderkey": ko, "o_custkey": kc}, spark),
+            "orders", 8,
         )
-    write(events, "events", 8)
-
-    # documents: salt every 3rd word for copies > 0 so no 3-gram shingle
-    # survives across copies (see module docstring)
-    docs = scale_table(read("documents"), m, {"doc_id": kd}, spark)
-    salted_words = F.transform(
-        F.split(F.col("text"), " "),
-        lambda w, i: F.when(
-            (F.col("__copy") > 0) & (i % 3 == 0),
-            F.concat(w, F.lit("x"), F.col("__copy").cast("string")),
-        ).otherwise(w),
-    )
-    docs = docs.withColumn("text", F.array_join(salted_words, " ")).withColumn(
-        "n_chars", F.length("text").cast("long")
-    )
-    write(docs, "documents", 8)
-
-    # embeddings: deterministic per-copy, per-position perturbation
-    emb = scale_table(read("embeddings"), m, {"vec_id": kv}, spark)
-    perturbed = F.transform(
-        F.col("embedding"),
-        lambda x, i: (
-            x * (F.lit(1.0) + F.col("__copy") * F.lit(0.003))
-            + (
-                F.col("__copy").cast("double")
-                * ((F.pmod(F.col("vec_id") + i, F.lit(13)) - F.lit(6.0)))
-                * F.lit(0.002)
+    if wanted("lineitem"):
+        write(
+            scale_table(
+                read("lineitem"), m,
+                {"l_orderkey": ko, "l_partkey": kp, "l_suppkey": ks}, spark,
+            ),
+            "lineitem", 16,
+        )
+    if wanted("events"):
+        events = scale_table(read("events"), m,
+                             {"event_id": ke, "user_id": ku}, spark)
+        if hot_pct > 0:
+            # md5-derived routing (not pmod(event_id): offsets make raw ids
+            # non-uniform mod 100) — deterministic, so re-runs are identical
+            events = events.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.abs(F.hash(F.col("event_id"))), F.lit(100)) < hot_pct,
+                    F.lit(0).cast("long"),
+                ).otherwise(F.col("user_id")),
             )
-        ).cast("float"),
-    )
-    write(emb.withColumn("embedding", perturbed), "embeddings", 4)
+        write(events, "events", 8)
+
+    if wanted("documents"):
+        # documents: salt every 3rd word for copies > 0 so no 3-gram shingle
+        # survives across copies (see module docstring)
+        docs = scale_table(read("documents"), m, {"doc_id": kd}, spark)
+        salted_words = F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                (F.col("__copy") > 0) & (i % 3 == 0),
+                F.concat(w, F.lit("x"), F.col("__copy").cast("string")),
+            ).otherwise(w),
+        )
+        docs = docs.withColumn("text", F.array_join(salted_words, " ")).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+        write(docs, "documents", 8)
+
+    if wanted("embeddings"):
+        # embeddings: deterministic per-copy, per-position perturbation
+        emb = scale_table(read("embeddings"), m, {"vec_id": kv}, spark)
+        perturbed = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x * (F.lit(1.0) + F.col("__copy") * F.lit(0.003))
+                + (
+                    F.col("__copy").cast("double")
+                    * ((F.pmod(F.col("vec_id") + i, F.lit(13)) - F.lit(6.0)))
+                    * F.lit(0.002)
+                )
+            ).cast("float"),
+        )
+        write(emb.withColumn("embedding", perturbed), "embeddings", 4)
 
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"):
+        if not wanted(name):
+            continue
         n = spark.read.parquet(f"{dst}/{name}.parquet").count()
         print(f"{name}: {n}", flush=True)
 
