@@ -599,6 +599,60 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos") >= NEAR_DUP_COS).select("vec_a", "vec_b")
 
 
+def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified chain-link candidate edges — the single-plan build stage
+    of near_dup_clusters, exposed so plan evidence (docs/PLANS.md) can
+    show the BUILD plan rather than the stored artifact's two-node scan:
+    per LSH table, a per-bucket ranking window on (rotated sign
+    signature, normalized projection, vec_id) feeds a W-successor
+    equi-join on (bucket, rank); cosine-verified survivors from all
+    tables union into (src, dst). Candidates ≤ N_TABLES·W·n at any
+    bucket occupancy — see near_dup_clusters for the full design."""
+    base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
+    bits = lsh_bits(corpus_count(spark, sf_dir))
+    all_edges = None
+    for t in range(N_TABLES):
+        ct = base.select(
+            "vec_id", "v", "norm",
+            sign_bucket(F.col("v"), t, bits).alias("bucket"),
+            _rot_sig(F.col("v"), t).alias("__sig"),
+            _chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
+        )
+        w = Window.partitionBy("bucket").orderBy(
+            "__sig", "__proj", "vec_id"
+        )
+        r = ct.withColumn("__rn", F.row_number().over(w))
+        left = (
+            r.select(
+                "bucket", F.col("vec_id").alias("va"),
+                F.col("v").alias("av"), F.col("norm").alias("an"),
+                F.col("__rn").alias("ra"),
+            )
+            .withColumn(
+                "__k",
+                F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
+            )
+            .withColumn("rb", F.col("ra") + F.col("__k"))
+        )
+        right = r.select(
+            "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+            F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
+        )
+        edges_t = (
+            left.join(right, ["bucket", "rb"])
+            .filter(
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
+            )
+            .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+        )
+        all_edges = (
+            edges_t if all_edges is None
+            else all_edges.unionByName(edges_t)
+        )
+    return all_edges
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTER membership with no fence and no drops —
     the recall-preserving scale path for clone-heavy corpora (r7,
@@ -629,53 +683,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .components import connected_components
 
     def build() -> DataFrame:
-        base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
-        bits = lsh_bits(corpus_count(spark, sf_dir))
-        all_edges = None
-        for t in range(N_TABLES):
-            ct = base.select(
-                "vec_id", "v", "norm",
-                sign_bucket(F.col("v"), t, bits).alias("bucket"),
-                _rot_sig(F.col("v"), t).alias("__sig"),
-                _chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
-            )
-            w = Window.partitionBy("bucket").orderBy(
-                "__sig", "__proj", "vec_id"
-            )
-            r = ct.withColumn("__rn", F.row_number().over(w))
-            left = (
-                r.select(
-                    "bucket", F.col("vec_id").alias("va"),
-                    F.col("v").alias("av"), F.col("norm").alias("an"),
-                    F.col("__rn").alias("ra"),
-                )
-                .withColumn(
-                    "__k",
-                    F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
-                )
-                .withColumn("rb", F.col("ra") + F.col("__k"))
-            )
-            right = r.select(
-                "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-                F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
-            )
-            edges_t = (
-                left.join(right, ["bucket", "rb"])
-                .filter(
-                    dot(F.col("av"), F.col("bv"))
-                    / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
-                )
-                .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
-            )
-            all_edges = (
-                edges_t if all_edges is None
-                else all_edges.unionByName(edges_t)
-            )
         # max_iter: min-labels travel one chain hop per iteration; the
         # worst family diameter is family_size / W (sf10 families ≈ 200
         # members → ~13 hops). 64 leaves 4-5× headroom; convergence is
         # detected, so typical corpora stop after 2-3 rounds.
-        return connected_components(all_edges, max_iter=64).select(
+        return connected_components(
+            near_dup_chain_edges(spark, sf_dir), max_iter=64
+        ).select(
             F.col("node").alias("vec_id"),
             F.col("component").alias("canonical_id"),
         )
