@@ -1089,28 +1089,34 @@ WITH {_PARAMS_SQL}, v AS (
   SELECT vec_id AS cell, v FROM v, params
   QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= params.k
 ), a0 AS (
-  SELECT v.vec_id, v.v AS v, cell,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
-           {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}) DESC, cell) AS rn
+  SELECT v.vec_id,
+         MAX(struct_pack(cos := {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}),
+                         negcell := -cell)) AS best
   FROM v CROSS JOIN seeds s
+  GROUP BY v.vec_id
 ), csums AS (
-  SELECT cell, COUNT(*) AS nc,
+  SELECT -struct_extract(best, 'negcell') AS cell, COUNT(*) AS nc,
          {_SCALED_SUMS_SQL}
-  FROM a0 WHERE rn = 1 GROUP BY cell
+  FROM a0 JOIN v USING (vec_id) GROUP BY 1
 ), cm AS (
   SELECT cell,
          {_MEANS_SQL}
   FROM csums
 ), a1 AS (
-  SELECT v.vec_id, v.v, cm.cell,
-         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}) DESC, cm.cell) AS rn
+  SELECT v.vec_id,
+         MAX(struct_pack(cos := {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}),
+                         negcell := -cm.cell)) AS best
   FROM v CROSS JOIN cm
+  GROUP BY v.vec_id
 ), assigned AS (
-  SELECT vec_id, v, cell FROM a1 WHERE rn = 1
+  SELECT v.vec_id, v.v, -struct_extract(best, 'negcell') AS cell
+  FROM a1 JOIN v USING (vec_id)
 ), q AS (
-  SELECT vec_id AS qid, v AS qv, cell FROM a1
-  WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
+  SELECT v.vec_id AS qid, v.v AS qv, cm.cell
+  FROM v CROSS JOIN cm
+  WHERE v.vec_id < {N_QUERIES}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+    {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}) DESC, cm.cell) <= {N_PROBE}
 ), scored AS (
   SELECT q.qid, q.cell, a.vec_id AS neighbor_id,
          {_list_dot_sql('q.qv', 'a.v')} / ({_list_norm_sql('q.qv')} * {_list_norm_sql('a.v')}) AS cos
@@ -1207,30 +1213,33 @@ WITH {_PARAMS_SQL}, v AS (
   SELECT vec_id AS cell, v FROM v, params
   QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= params.k
 ), a0 AS (
-  SELECT v.vec_id, v.v AS v, cell,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
-           {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}) DESC, cell) AS rn
+  SELECT v.vec_id,
+         MAX(struct_pack(cos := {_list_dot_sql('v.v', 's.v')} / ({_list_norm_sql('v.v')} * {_list_norm_sql('s.v')}),
+                         negcell := -cell)) AS best
   FROM v CROSS JOIN seeds s
+  GROUP BY v.vec_id
 ), csums AS (
-  SELECT cell, COUNT(*) AS nc,
+  SELECT -struct_extract(best, 'negcell') AS cell, COUNT(*) AS nc,
          {_SCALED_SUMS_SQL}
-  FROM a0 WHERE rn = 1 GROUP BY cell
+  FROM a0 JOIN v USING (vec_id) GROUP BY 1
 ), cm AS (
   SELECT cell,
          {_MEANS_SQL}
   FROM csums
 ), a1 AS (
-  SELECT v.vec_id, cm.cell,
-         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}) DESC, cm.cell) AS rn
+  SELECT v.vec_id,
+         MAX(struct_pack(cos := {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}),
+                         negcell := -cm.cell)) AS best
   FROM v CROSS JOIN cm
+  GROUP BY v.vec_id
+), assigned AS (
+  SELECT vec_id, -struct_extract(best, 'negcell') AS cell FROM a1
 )
-SELECT a1.cell, COUNT(*) AS n_members,
+SELECT assigned.cell, COUNT(*) AS n_members,
        MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
        MIN({_mnorm_sql('cm')}) AS centroid_norm
-FROM a1 JOIN cm ON a1.cell = cm.cell
-WHERE rn = 1
-GROUP BY a1.cell
+FROM assigned JOIN cm ON assigned.cell = cm.cell
+GROUP BY assigned.cell
 """
 
 
