@@ -25,6 +25,15 @@ def get_spark(app_name: str = "e_commerce_etl_pipeline_spark",
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE starts every shuffle at initialPartitionNum and coalesces
+        # DOWN to fit advisoryPartitionSizeInBytes — it never splits UP.
+        # With the start pinned to cpus (=32), a billion-row shuffle gets
+        # ~30M rows/partition and spills: the sf100 probe measured
+        # duplicate_chunk_spans going >100x past its sf10 time on exactly
+        # this. Start high and let AQE shrink small shuffles back down;
+        # tiny-SF plans are unchanged post-coalesce.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(256, 8 * cpus)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
