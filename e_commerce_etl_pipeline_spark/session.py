@@ -30,10 +30,15 @@ def get_spark(app_name: str = "e_commerce_etl_pipeline_spark",
         # With the start pinned to cpus (=32), a billion-row shuffle gets
         # ~30M rows/partition and spills: the sf100 probe measured
         # duplicate_chunk_spans going >100x past its sf10 time on exactly
-        # this. Start high and let AQE shrink small shuffles back down;
-        # tiny-SF plans are unchanged post-coalesce.
+        # this. Starting high is not free either: at sf0.1 a 256 floor
+        # costs ~14% on the registry bench in per-stage scheduling /
+        # shuffle-block overhead. So the floor is deployment-sized, like
+        # shuffle.partitions on a real cluster: default 4x cores, and the
+        # scale tools (gen_scale, probe_worst_alpha, sf>=10 corpora) set
+        # SPARK_GRAFT_AQE_INIT_PARTS higher for spill-proof big shuffles.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(max(256, 8 * cpus)))
+                os.environ.get("SPARK_GRAFT_AQE_INIT_PARTS",
+                               str(max(128, 4 * cpus))))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

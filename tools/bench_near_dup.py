@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import json
 import os
+
+# Big-corpus tools: spill-proof shuffle sizing unless the caller chose.
+os.environ.setdefault("SPARK_GRAFT_AQE_INIT_PARTS", "256")
 import sys
 import time
 

@@ -40,6 +40,9 @@ scale is how their worth is measured (tools/bench_skew.py).
 from __future__ import annotations
 
 import os
+
+# Big-corpus tools: spill-proof shuffle sizing unless the caller chose.
+os.environ.setdefault("SPARK_GRAFT_AQE_INIT_PARTS", "256")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
