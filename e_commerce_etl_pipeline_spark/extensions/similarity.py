@@ -28,6 +28,7 @@ Cross-engine determinism (every query here is DuckDB-oracle-checked):
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -389,7 +390,14 @@ TWIN_OFFSET = 1_000_000
 # at sf0.001); a fixed pseudo-random projection spreads a bucket over
 # ~[-1,1] while a near-dup pair moves ≤ |δ| — twins land adjacent, clone
 # families contiguous.
-NEAR_DUP_CHAIN_W = 16
+# Tunable because the right W is a recall/cost dial on clone-mass
+# corpora: the r8 sf10 miss diagnosis (tools/diag_near_dup_miss.py)
+# found EVERY missed sample pair shares a bucket but sits 25-382 ranks
+# past W=16 — W=64 recovers the ≤64 cohort at 4x the candidate edges
+# (still ≤ N_TABLES·W·n, bucket-occupancy-independent). The DuckDB
+# oracle templates read this same constant at import, so Spark and
+# oracle stay consistent at any setting.
+NEAR_DUP_CHAIN_W = int(os.environ.get("SPARK_GRAFT_ND_CHAIN_W", "16"))
 
 NEAR_DUP_COS = 0.999
 
@@ -694,9 +702,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("canonical_id"),
         )
 
-    return index_store.stored_df(
-        spark, _emb_table(sf_dir), "near_dup_clusters", build
-    )
+    # The artifact answer depends on the chain width, so a non-default W
+    # gets its own artifact key — otherwise a tuned run would silently
+    # reuse (or poison) the default-W store for the same corpus
+    # fingerprint. Default keeps the historical name to reuse existing
+    # stores.
+    name = ("near_dup_clusters" if NEAR_DUP_CHAIN_W == 16
+            else f"near_dup_clusters_w{NEAR_DUP_CHAIN_W}")
+    return index_store.stored_df(spark, _emb_table(sf_dir), name, build)
 
 
 def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
