@@ -191,14 +191,18 @@ def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     docs = docs.select("doc_id", codes.alias("codes"))
 
-    # h(i) = (sum_j codes[i+j] * B^(W-1-j)) % M, for i in 1..n-W+1
+    # h(i) = (sum_j codes[i+j] * B^(W-1-j)) % M, for i in 1..n-W+1.
+    # One mod per WINDOW, not per term: each term <= max_codepoint
+    # (0x10FFFF) * (M-1) < 1.2e15, so the 8-term sum < 9.4e15 fits a
+    # 64-bit long with headroom — same value as the per-term-mod form
+    # (mod distributes over +), ~2x fewer ops in the per-char hot loop.
     powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
 
     def win_hash(i: Column) -> Column:
         acc = F.lit(0).cast("long")
         for j, p in enumerate(powers):
-            acc = (acc + F.element_at(F.col("codes"), i + j) * F.lit(p)) % ROLL_MOD
-        return acc
+            acc = acc + F.element_at(F.col("codes"), i + j) * F.lit(p)
+        return acc % ROLL_MOD
 
     n = F.size(F.col("codes"))
     # guard: Spark sequence(1, 0) would generate a DESCENDING sequence
@@ -383,13 +387,15 @@ def duplicate_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     base = docs.select("doc_id", "text", codes.alias("codes"))
 
+    # single mod per window — see rolling_fingerprint_docs for the
+    # 64-bit overflow headroom argument
     powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
 
     def win_hash(i: Column) -> Column:
         acc = F.lit(0).cast("long")
         for j, p in enumerate(powers):
-            acc = (acc + F.element_at(F.col("codes"), i + j) * F.lit(p)) % ROLL_MOD
-        return acc
+            acc = acc + F.element_at(F.col("codes"), i + j) * F.lit(p)
+        return acc % ROLL_MOD
 
     n = F.size(F.col("codes"))
     idx = F.when(
