@@ -19,10 +19,12 @@ oracle-checked on every test run by tests/test_full_registry_oracle.py
 (the CI guard — same row/schema/value-hash comparison as the driver,
 all entries, so a window-size or sampling change can't silently drop
 coverage), and per-round full-registry output is committed as
-CHECK_ORACLE_FULL_r{N}.txt. Known placement note: ``approx_sketch_stats``
-(the registry's only oracle-less, rows-only entry — sketches are
-approximate by design) sits outside the graded window; its rows-only
-status is identical under either check.
+CHECK_ORACLE_FULL_r{N}.txt. Known placement note: the registry's two
+oracle-less, rows-only entries — ``approx_sketch_stats`` (sketches are
+approximate by design) and ``near_dup_incremental_update`` (iterative
+stateful-index maintenance; exact semantics asserted vs a full rebuild
+in tests/test_incremental_clusters.py) — sit outside the graded window;
+their rows-only status is identical under either check.
 """
 
 from __future__ import annotations

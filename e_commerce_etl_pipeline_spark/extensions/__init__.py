@@ -16,6 +16,7 @@ from .quantize import EXT_QUERIES as QUANTIZE_QUERIES  # noqa: F401
 from .tfidf import EXT_QUERIES as TFIDF_QUERIES  # noqa: F401
 from .fusion import EXT_QUERIES as FUSION_QUERIES  # noqa: F401
 from .corpus_prep import EXT_QUERIES as CORPUS_PREP_QUERIES  # noqa: F401
+from .incremental_clusters import EXT_QUERIES as INCREMENTAL_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
@@ -30,4 +31,5 @@ ALL_EXT_QUERIES = {
     **GROUPED_PANDAS_QUERIES,
     **COMPONENTS_QUERIES,
     **CURATION_QUERIES,
+    **INCREMENTAL_QUERIES,
 }

@@ -18,10 +18,15 @@ grows the stored assignment instead:
      the same (rotated sign signature, normalized projection, vec_id)
      chain window orders them, and W-successor candidates are kept only
      where at least one side is NEW.
-  3. Candidates are cosine-verified (>= similarity.NEAR_DUP_COS) and
-     unioned with the prior assignment (each (vec_id, canonical_id) row
-     is an edge), and one min-label connected-components pass produces
-     the grown assignment.
+  3. Candidates are cosine-verified (>= similarity.NEAR_DUP_COS), old
+     endpoints are CONTRACTED to their prior canonical id, and min-label
+     connected components runs over the contracted graph ONLY (nodes =
+     batch corpus + touched prior canonicals) — exact, because a prior
+     canonical already IS the min vec_id of its cluster, so min-label
+     over the contracted graph equals min-label over the full graph.
+     The grown assignment is then a broadcast relabel of the narrow
+     prior (vec_id, canonical_id) scan plus the batch's new rows — no
+     corpus-sized iteration anywhere.
 
 Correctness shape (provable, and asserted by tests/test_incremental_
 clusters.py against a from-scratch rebuild):
@@ -40,10 +45,18 @@ clusters.py against a from-scratch rebuild):
   transitivity semantics the full build has, evaluated on a growing
   edge set.
 
-Scale shape: per-batch cost = (batch + affected-bucket members) window
-+ W-successor join per table, plus an O(n) NARROW scan of the prior
-(vec_id, canonical_id) assignment for the components pass — no wide
-vector reads outside affected buckets, no full-corpus cosine work.
+Scale shape: per-batch cost = ONE wide scan of the base corpus that
+derives every table's bucket in a single exploded projection (the
+chain signature / projection expressions and all window + cosine work
+run only on AFFECTED-bucket rows, post-filter), an iterative
+components pass sized by the BATCH (contracted graph), and two O(n)
+NARROW scans of the prior (vec_id, canonical_id) assignment
+(canonical lookup + broadcast relabel, both shuffle-free map-side
+joins). The one full wide scan exists to re-derive buckets; a
+deployment that lays the embedding table out bucket-partitioned (or
+persists a narrow (vec_id, t, bucket) index) turns it into a pruned
+read of affected buckets only — the compute shape here is already
+filter-first, so that swap changes I/O, not the plan.
 
 Reference behavior parity: the reference maintains its warehouse
 incrementally (15-minute change windows) rather than re-extracting the
@@ -77,70 +90,134 @@ def batch_near_dup_corpus(new_vecs: DataFrame) -> DataFrame:
     return S.with_norm(emb.unionByName(twins))
 
 
+def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
+    """(vec_id, v, norm) -> one row PER LSH TABLE with that table's
+    bucket. A single exploded projection pass: the wide embedding
+    column is scanned ONCE for all N_TABLES (the per-table loop this
+    replaced scanned it N_TABLES times — at 100 TB the wide scan is
+    the dominant cost of the whole update). Chain-ordering keys are NOT
+    computed here: add them with _with_chain_keys AFTER the
+    affected-bucket filter, so the heavy signature expressions run only
+    on surviving rows."""
+    per_t = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            S.sign_bucket(F.col("v"), t, bits).alias("bucket"),
+        )
+        for t in range(S.N_TABLES)
+    ])
+    return (
+        df.select("vec_id", "v", "norm", F.explode(per_t).alias("__tb"))
+        .select(
+            "vec_id", "v", "norm", "__tb.*", F.lit(is_new).alias("__new")
+        )
+    )
+
+
+def _with_chain_keys(df: DataFrame) -> DataFrame:
+    """Add table t's chain-ordering keys (__sig, __proj) to an exploded
+    (t, bucket) frame — a when-chain on t, so each row evaluates only
+    its own table's expressions."""
+    sig = proj = None
+    for t in range(S.N_TABLES):
+        s = S._rot_sig(F.col("v"), t)
+        p = S._chain_proj(F.col("v"), F.col("norm"), t)
+        cond = F.col("t") == t
+        sig = F.when(cond, s) if sig is None else sig.when(cond, s)
+        proj = F.when(cond, p) if proj is None else proj.when(cond, p)
+    return df.withColumn("__sig", sig).withColumn("__proj", proj)
+
+
 def _new_member_edges(
     base_corpus: DataFrame, batch_corpus: DataFrame, bits: int
 ) -> DataFrame:
     """Cosine-verified chain edges involving >=1 batch vector, derived
-    per LSH table over ONLY the buckets the batch touches, in the same
-    full-bucket chain order a rebuild would use."""
-    all_edges = None
-    for t in range(S.N_TABLES):
-        def tabled(df, is_new):
-            return df.select(
-                "vec_id", "v", "norm",
-                S.sign_bucket(F.col("v"), t, bits).alias("bucket"),
-                S._rot_sig(F.col("v"), t).alias("__sig"),
-                S._chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
-                F.lit(is_new).alias("__new"),
-            )
+    over ONLY the (table, bucket) pairs the batch touches, in the same
+    full-bucket chain order a rebuild would use. One window + one
+    rank-join across all tables (keyed by (t, bucket)) instead of a
+    per-table stage chain."""
+    nt = _with_chain_keys(_tabled_all(batch_corpus, True, bits))
+    # affected buckets: a batch is small relative to the corpus, so the
+    # (table, bucket) list broadcasts and the base-side filter is a
+    # broadcast semi-join (no shuffle of the base corpus). Chain keys
+    # attach after the filter — only affected rows pay for them.
+    touched = nt.select("t", "bucket").distinct()
+    bt = _with_chain_keys(
+        _tabled_all(base_corpus, False, bits).join(
+            F.broadcast(touched), ["t", "bucket"], "left_semi"
+        )
+    )
+    members = bt.unionByName(nt)
+    w = Window.partitionBy("t", "bucket").orderBy("__sig", "__proj", "vec_id")
+    # checkpoint the ranked members (tiny: affected buckets only) so the
+    # W-successor rank-join below joins two LEAVES — without this the
+    # whole bucket/signature tree is duplicated into both join inputs
+    # and Catalyst re-analyzes it twice per action (measured: the
+    # dominant cost of the update was driver-side plan work, not tasks)
+    r = members.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
+    left = (
+        r.select(
+            "t", "bucket", F.col("vec_id").alias("va"),
+            F.col("v").alias("av"), F.col("norm").alias("an"),
+            F.col("__new").alias("na"), F.col("__rn").alias("ra"),
+        )
+        .withColumn(
+            "__k",
+            F.explode(F.sequence(F.lit(1), F.lit(S.NEAR_DUP_CHAIN_W))),
+        )
+        .withColumn("rb", F.col("ra") + F.col("__k"))
+    )
+    right = r.select(
+        "t", "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+        F.col("norm").alias("bn"), F.col("__new").alias("nb"),
+        F.col("__rn").alias("rb"),
+    )
+    return (
+        left.join(right, ["t", "bucket", "rb"])
+        .filter(F.col("na") | F.col("nb"))
+        .filter(
+            S.dot(F.col("av"), F.col("bv"))
+            / (F.col("an") * F.col("bn")) >= S.NEAR_DUP_COS
+        )
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    )
 
-        nt = tabled(batch_corpus, True)
-        # affected buckets: a batch is small relative to the corpus, so
-        # the bucket list broadcasts and the base-side filter is a
-        # broadcast semi-join (no shuffle of the base corpus).
-        touched = nt.select("bucket").distinct()
-        bt = tabled(base_corpus, False).join(
-            F.broadcast(touched), "bucket", "left_semi"
-        )
-        members = bt.unionByName(nt)
-        w = Window.partitionBy("bucket").orderBy("__sig", "__proj", "vec_id")
-        r = members.withColumn("__rn", F.row_number().over(w))
-        left = (
-            r.select(
-                "bucket", F.col("vec_id").alias("va"),
-                F.col("v").alias("av"), F.col("norm").alias("an"),
-                F.col("__new").alias("na"), F.col("__rn").alias("ra"),
-            )
-            .withColumn(
-                "__k",
-                F.explode(F.sequence(F.lit(1), F.lit(S.NEAR_DUP_CHAIN_W))),
-            )
-            .withColumn("rb", F.col("ra") + F.col("__k"))
-        )
-        right = r.select(
-            "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-            F.col("norm").alias("bn"), F.col("__new").alias("nb"),
-            F.col("__rn").alias("rb"),
-        )
-        edges_t = (
-            left.join(right, ["bucket", "rb"])
-            .filter(F.col("na") | F.col("nb"))
-            .filter(
-                S.dot(F.col("av"), F.col("bv"))
-                / (F.col("an") * F.col("bn")) >= S.NEAR_DUP_COS
-            )
-            .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
-        )
-        all_edges = (
-            edges_t if all_edges is None
-            else all_edges.unionByName(edges_t)
-        )
-    return all_edges
+
+def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
+    """Exact min-label components for a batch-sized edge list, computed
+    with one collect + a path-compressing union-find whose root is
+    always the MIN node id — identical semantics to
+    components.connected_components (component = min reachable id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in graph.collect():
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min id stays the root -> min-label
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node bigint, component bigint")
+
+
+# driver union-find cutoff for the contracted graph; above it the
+# iterative distributed pass runs (huge backfill batches)
+DRIVER_CC_MAX_EDGES = 200_000
 
 
 def incremental_near_dup_update(
     spark: SparkSession, sf_dir: str, new_vecs: DataFrame,
     check_ids: bool = True,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Grow the stored near-dup cluster assignment with an ingest batch
     WITHOUT rebuilding it. Returns the updated (vec_id, canonical_id)
@@ -180,20 +257,177 @@ def incremental_near_dup_update(
     bits = S.lsh_bits(S.corpus_count(spark, sf_dir))
     batch_corpus = batch_near_dup_corpus(new_vecs)
 
+    # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
+    # window job runs once, not per downstream action
     new_edges = _new_member_edges(
         base_corpus.select("vec_id", "v", "norm"), batch_corpus, bits
+    ).localCheckpoint()
+    prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
+
+    # Components on the CONTRACTED graph only: every old endpoint
+    # collapses to its prior canonical id (prior canonical = min vec_id
+    # of its cluster, so min-label over the contracted graph equals
+    # min-label over the full graph — the contraction is exact, not an
+    # approximation). The iterative pass therefore runs on a graph
+    # sized by the BATCH (nodes = batch corpus + touched prior
+    # canonicals), never on the full corpus; the only corpus-sized work
+    # is one broadcast relabel scan of the narrow prior assignment.
+    batch_ids = batch_corpus.select("vec_id")
+    old_nodes = (
+        new_edges.select(F.col("src").alias("vec_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("vec_id")))
+        .join(batch_ids, "vec_id", "left_anti")
+        .distinct()
     )
-    prior = S.near_dup_clusters(spark, sf_dir).select(
-        F.col("vec_id").alias("src"), F.col("canonical_id").alias("dst")
-    )
+    # tiny -> broadcast; the narrow prior streams map-side (no shuffle);
+    # checkpointed: it feeds both contractions and the remap
+    old_cid = prior.join(F.broadcast(old_nodes), "vec_id").select(
+        "vec_id", F.col("canonical_id").alias("__cid")
+    ).localCheckpoint()
+
+    def _contract(edges: DataFrame, end: str) -> DataFrame:
+        m = old_cid.select(
+            F.col("vec_id").alias(end), F.col("__cid").alias(f"__c_{end}")
+        )
+        return edges.join(F.broadcast(m), end, "left").withColumn(
+            end, F.coalesce(F.col(f"__c_{end}"), F.col(end))
+        ).drop(f"__c_{end}")
+
+    contracted = _contract(_contract(new_edges, "src"), "dst")
     # isolated new vectors (no edge at all) must still appear in the
     # assignment: self-edges register them as singleton components
     selves = batch_corpus.select(
         F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
     )
-    merged = connected_components(
-        new_edges.unionByName(prior).unionByName(selves), max_iter=64
+    graph = contracted.unionByName(selves)
+    # Size-adaptive components (same discipline as operators.skew's
+    # decision): the contracted graph is batch-sized by construction
+    # (<= N_TABLES*W*|batch corpus| edges + |batch corpus| selves), so
+    # for ordinary ingest batches a driver union-find replaces ~6
+    # scheduler rounds of iterative min-label CC with ONE bounded
+    # collect — the same bounded-metadata class as the repo's top-k
+    # collects. Above the threshold (huge backfill batches) it stays
+    # distributed. new_edges is checkpointed, so the count is free.
+    if new_edges.count() <= driver_cc_max_edges:
+        cc = _driver_union_find(spark, graph)
+    else:
+        cc = connected_components(
+            graph, max_iter=64
+        )  # (node, component) over the contracted graph only
+
+    # touched prior canonicals -> their merged component (tiny)
+    remap = cc.join(
+        old_cid.select(F.col("__cid").alias("node")).distinct(), "node"
+    ).select(F.col("node").alias("__old"), F.col("component").alias("__new"))
+    relabeled = prior.join(
+        F.broadcast(remap), prior.canonical_id == F.col("__old"), "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
+            "canonical_id"
+        ),
     )
-    return merged.select(
-        F.col("node").alias("vec_id"), F.col("component").alias("canonical_id")
+    batch_assign = cc.join(
+        F.broadcast(batch_ids), cc.node == batch_ids.vec_id
+    ).select("vec_id", F.col("component").alias("canonical_id"))
+    return relabeled.unionByName(batch_assign)
+
+
+AUDIT_BATCH_K = 8
+
+
+def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: run the incremental cluster update end-to-end on
+    a deterministic synthetic ingest batch and return a one-row
+    self-audit of its contract. Rows-only check (oracle omitted): the
+    operator is an iterative min-label-propagation algorithm over a
+    stateful index — the same non-SQL-expressible category as
+    approx_sketch_stats — and its exact-equivalence semantics are
+    asserted against a from-scratch rebuild in
+    tests/test_incremental_clusters.py; this entry makes the driver
+    exercise the production path (store-backed prior assignment, id
+    guards, touched-bucket window, components pass) every round.
+
+    Batch construction: the AUDIT_BATCH_K smallest stored vectors,
+    scaled x1.5 (cosine 1.0 with their source — identical normalized
+    direction, so identical buckets / sign signatures / chain
+    projections in every table), re-identified above the stored max
+    vec_id. Deterministic, so every audit column has one correct value:
+
+    - coverage_missing = 0: every prior node and batch-corpus member
+      (incl. synthesized twins) appears in the grown assignment.
+    - prior_splits = 0: merge-monotonicity — no prior cluster maps to
+      more than one grown canonical id.
+    - src_joined = AUDIT_BATCH_K: each batch vector co-clusters with
+      its source (rank-adjacent in the source's chain order, cosine 1).
+    """
+    prior = S.near_dup_clusters(spark, sf_dir).select(
+        "vec_id", F.col("canonical_id").alias("prior_cid")
     )
+    max_id = S.corpus_max_vec_id(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(AUDIT_BATCH_K)
+    )
+    batch = seeds.select(
+        (F.col("vec_id") + F.lit(max_id + 1)).alias("vec_id"),
+        F.transform(
+            S._as_double(F.col("embedding")), lambda x: x * F.lit(1.5)
+        ).alias("embedding"),
+        F.col("vec_id").alias("__src_id"),
+    )
+    # narrow (two longs/row); checkpointed because five audit branches
+    # below would each re-derive the relabel plan otherwise
+    updated = incremental_near_dup_update(
+        spark, sf_dir, batch.select("vec_id", "embedding")
+    ).localCheckpoint()
+
+    # coverage: prior nodes + full batch corpus (base + twins)
+    expected = prior.select("vec_id").unionByName(
+        batch_near_dup_corpus(batch.select("vec_id", "embedding"))
+        .select("vec_id")
+    )
+    missing = expected.join(updated, "vec_id", "left_anti")
+
+    # merge-monotone: each prior cluster lands in exactly one grown one
+    splits = (
+        prior.join(updated, "vec_id")
+        .groupBy("prior_cid")
+        .agg(F.count_distinct("canonical_id").alias("n_new"))
+        .filter(F.col("n_new") > 1)
+    )
+
+    # each batch vector co-clusters with its scaled source
+    pairs = (
+        batch.select("vec_id", "__src_id")
+        .join(updated, "vec_id")
+        .join(
+            updated.select(
+                F.col("vec_id").alias("__src_id"),
+                F.col("canonical_id").alias("src_cid"),
+            ),
+            "__src_id",
+        )
+    )
+    return (
+        updated.agg(F.count("*").alias("n_assigned"))
+        .crossJoin(prior.agg(F.count("*").alias("n_prior")))
+        .crossJoin(missing.agg(F.count("*").alias("coverage_missing")))
+        .crossJoin(splits.agg(F.count("*").alias("prior_splits")))
+        .crossJoin(
+            pairs.agg(
+                F.sum(
+                    (F.col("canonical_id") == F.col("src_cid")).cast("long")
+                ).alias("src_joined")
+            )
+        )
+        .withColumn("batch_k", F.lit(AUDIT_BATCH_K).cast("long"))
+    )
+
+
+EXT_QUERIES = {
+    # rows-only: iterative stateful-index maintenance (see docstring)
+    "near_dup_incremental_update": (near_dup_incremental_update, None),
+}

@@ -111,3 +111,20 @@ def test_id_guards(spark, split_dirs):
     overlapping = load_table(spark, base_dir, "embeddings").limit(1)
     with pytest.raises(ValueError, match="overlap"):
         incremental_near_dup_update(spark, base_dir, overlapping)
+
+
+def test_driver_and_distributed_cc_paths_agree(spark, split_dirs):
+    """The size-adaptive components switch must be invisible: forcing
+    the distributed path (driver_cc_max_edges=0 -> every edge count
+    exceeds it) yields the identical assignment to the default
+    driver union-find path."""
+    base_dir, _, batch = split_dirs
+    via_driver = _groups(
+        incremental_near_dup_update(spark, base_dir, batch)
+    )
+    via_distributed = _groups(
+        incremental_near_dup_update(
+            spark, base_dir, batch, driver_cc_max_edges=-1
+        )
+    )
+    assert via_driver == via_distributed

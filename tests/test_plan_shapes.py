@@ -32,6 +32,9 @@ NESTED_LOOP_OK = {
     # basket lift)
     "retention_filter", "idle_rich_customers", "source_mixture_sample",
     "tfidf_top_terms", "rare_term_docs", "basket_lift",
+    # one-row self-audit: five single-row aggregate counters crossJoined
+    # into the summary row — every BNLJ input is exactly one row
+    "near_dup_incremental_update",
 }
 
 
