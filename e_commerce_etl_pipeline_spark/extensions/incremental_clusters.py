@@ -91,41 +91,15 @@ def batch_near_dup_corpus(new_vecs: DataFrame) -> DataFrame:
 
 
 def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
-    """(vec_id, v, norm) -> one row PER LSH TABLE with that table's
-    bucket. A single exploded projection pass: the wide embedding
-    column is scanned ONCE for all N_TABLES (the per-table loop this
-    replaced scanned it N_TABLES times — at 100 TB the wide scan is
-    the dominant cost of the whole update). Chain-ordering keys are NOT
-    computed here: add them with _with_chain_keys AFTER the
-    affected-bucket filter, so the heavy signature expressions run only
-    on surviving rows."""
-    per_t = F.array(*[
-        F.struct(
-            F.lit(t).alias("t"),
-            S.sign_bucket(F.col("v"), t, bits).alias("bucket"),
-        )
-        for t in range(S.N_TABLES)
-    ])
-    return (
-        df.select("vec_id", "v", "norm", F.explode(per_t).alias("__tb"))
-        .select(
-            "vec_id", "v", "norm", "__tb.*", F.lit(is_new).alias("__new")
-        )
+    """similarity.tabled_buckets (one exploded scan, all tables'
+    buckets, same helper the full build uses — identical bucketing by
+    construction) plus the old/new flag. Chain-ordering keys are NOT
+    computed here: add them with similarity.with_chain_keys AFTER the
+    affected-bucket filter, so the signature expressions run only on
+    surviving rows."""
+    return S.tabled_buckets(df, bits).withColumn(
+        "__new", F.lit(is_new)
     )
-
-
-def _with_chain_keys(df: DataFrame) -> DataFrame:
-    """Add table t's chain-ordering keys (__sig, __proj) to an exploded
-    (t, bucket) frame — a when-chain on t, so each row evaluates only
-    its own table's expressions."""
-    sig = proj = None
-    for t in range(S.N_TABLES):
-        s = S._rot_sig(F.col("v"), t)
-        p = S._chain_proj(F.col("v"), F.col("norm"), t)
-        cond = F.col("t") == t
-        sig = F.when(cond, s) if sig is None else sig.when(cond, s)
-        proj = F.when(cond, p) if proj is None else proj.when(cond, p)
-    return df.withColumn("__sig", sig).withColumn("__proj", proj)
 
 
 def _new_member_edges(
@@ -136,13 +110,13 @@ def _new_member_edges(
     full-bucket chain order a rebuild would use. One window + one
     rank-join across all tables (keyed by (t, bucket)) instead of a
     per-table stage chain."""
-    nt = _with_chain_keys(_tabled_all(batch_corpus, True, bits))
+    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits))
     # affected buckets: a batch is small relative to the corpus, so the
     # (table, bucket) list broadcasts and the base-side filter is a
     # broadcast semi-join (no shuffle of the base corpus). Chain keys
     # attach after the filter — only affected rows pay for them.
     touched = nt.select("t", "bucket").distinct()
-    bt = _with_chain_keys(
+    bt = S.with_chain_keys(
         _tabled_all(base_corpus, False, bits).join(
             F.broadcast(touched), ["t", "bucket"], "left_semi"
         )

@@ -629,58 +629,82 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos") >= NEAR_DUP_COS).select("vec_a", "vec_b")
 
 
+def tabled_buckets(df: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, v, norm) -> one row per LSH TABLE with that table's
+    bucket, via a single exploded projection — the wide embedding
+    column is scanned ONCE for all N_TABLES (the per-table build loop
+    this replaced scanned it N_TABLES times)."""
+    per_t = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            sign_bucket(F.col("v"), t, bits).alias("bucket"),
+        )
+        for t in range(N_TABLES)
+    ])
+    return (
+        df.select("vec_id", "v", "norm", F.explode(per_t).alias("__tb"))
+        .select("vec_id", "v", "norm", "__tb.*")
+    )
+
+
+def with_chain_keys(df: DataFrame) -> DataFrame:
+    """Attach table t's chain-ordering keys (__sig, __proj) to an
+    exploded (t, bucket) frame — a when-chain on t, so each row
+    evaluates only its own table's expressions. Split from
+    tabled_buckets so callers that filter buckets first (the
+    incremental path) pay for signatures on surviving rows only."""
+    sig = proj = None
+    for t in range(N_TABLES):
+        s = _rot_sig(F.col("v"), t)
+        p = _chain_proj(F.col("v"), F.col("norm"), t)
+        cond = F.col("t") == t
+        sig = F.when(cond, s) if sig is None else sig.when(cond, s)
+        proj = F.when(cond, p) if proj is None else proj.when(cond, p)
+    return df.withColumn("__sig", sig).withColumn("__proj", proj)
+
+
 def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified chain-link candidate edges — the single-plan build stage
     of near_dup_clusters, exposed so plan evidence (docs/PLANS.md) can
     show the BUILD plan rather than the stored artifact's two-node scan:
-    per LSH table, a per-bucket ranking window on (rotated sign
-    signature, normalized projection, vec_id) feeds a W-successor
-    equi-join on (bucket, rank); cosine-verified survivors from all
-    tables union into (src, dst). Candidates ≤ N_TABLES·W·n at any
-    bucket occupancy — see near_dup_clusters for the full design."""
+    ONE exploded projection derives every table's bucket from a single
+    wide scan, ONE ranking window keyed (t, bucket) orders members on
+    (rotated sign signature, normalized projection, vec_id), and ONE
+    W-successor equi-join on (t, bucket, rank) feeds cosine
+    verification. Ranks are identical to the former per-table windows
+    (partitioning by (t, bucket) over exploded rows IS the per-table
+    per-bucket ranking), so the emitted edge set is unchanged — pinned
+    by the DuckDB recursive-CTE oracle. Candidates ≤ N_TABLES·W·n at
+    any bucket occupancy — see near_dup_clusters for the full design."""
     base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
     bits = lsh_bits(corpus_count(spark, sf_dir))
-    all_edges = None
-    for t in range(N_TABLES):
-        ct = base.select(
-            "vec_id", "v", "norm",
-            sign_bucket(F.col("v"), t, bits).alias("bucket"),
-            _rot_sig(F.col("v"), t).alias("__sig"),
-            _chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
+    r = with_chain_keys(tabled_buckets(base, bits))
+    w = Window.partitionBy("t", "bucket").orderBy("__sig", "__proj", "vec_id")
+    r = r.withColumn("__rn", F.row_number().over(w))
+    left = (
+        r.select(
+            "t", "bucket", F.col("vec_id").alias("va"),
+            F.col("v").alias("av"), F.col("norm").alias("an"),
+            F.col("__rn").alias("ra"),
         )
-        w = Window.partitionBy("bucket").orderBy(
-            "__sig", "__proj", "vec_id"
+        .withColumn(
+            "__k",
+            F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
         )
-        r = ct.withColumn("__rn", F.row_number().over(w))
-        left = (
-            r.select(
-                "bucket", F.col("vec_id").alias("va"),
-                F.col("v").alias("av"), F.col("norm").alias("an"),
-                F.col("__rn").alias("ra"),
-            )
-            .withColumn(
-                "__k",
-                F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
-            )
-            .withColumn("rb", F.col("ra") + F.col("__k"))
+        .withColumn("rb", F.col("ra") + F.col("__k"))
+    )
+    right = r.select(
+        "t", "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+        F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
+    )
+    return (
+        left.join(right, ["t", "bucket", "rb"])
+        .filter(
+            dot(F.col("av"), F.col("bv"))
+            / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
         )
-        right = r.select(
-            "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-            F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
-        )
-        edges_t = (
-            left.join(right, ["bucket", "rb"])
-            .filter(
-                dot(F.col("av"), F.col("bv"))
-                / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
-            )
-            .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
-        )
-        all_edges = (
-            edges_t if all_edges is None
-            else all_edges.unionByName(edges_t)
-        )
-    return all_edges
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    )
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
