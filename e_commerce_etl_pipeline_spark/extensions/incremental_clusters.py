@@ -192,6 +192,8 @@ def incremental_near_dup_update(
     spark: SparkSession, sf_dir: str, new_vecs: DataFrame,
     check_ids: bool = True,
     driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    prior: DataFrame | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Grow the stored near-dup cluster assignment with an ingest batch
     WITHOUT rebuilding it. Returns the updated (vec_id, canonical_id)
@@ -204,6 +206,12 @@ def incremental_near_dup_update(
     under TWIN_OFFSET, disjointness from the stored corpus — an
     aggregate and an anti-join count; disable only when the caller's id
     allocator already guarantees both).
+
+    ``prior`` overrides where the existing assignment comes from
+    (default: the stored near_dup_clusters artifact for ``sf_dir``) and
+    ``bits`` pins the hash tier explicitly — both are for CHAINED
+    updates (streaming.near_dup_index_stream), where batch N's prior is
+    batch N-1's output and the tier stays the stream-start tier.
 
     Production wiring: append the batch to the embeddings table, then
     write this result through ``operators.index_store.stored_df`` for
@@ -228,7 +236,8 @@ def incremental_near_dup_update(
     base_corpus = S._near_dup_corpus(spark, sf_dir)
     # hash granularity pinned to the BASE corpus: incremental batches
     # must not re-tier bits mid-stream (rebuild when crossing a step)
-    bits = S.lsh_bits(S.corpus_count(spark, sf_dir))
+    if bits is None:
+        bits = S.lsh_bits(S.corpus_count(spark, sf_dir))
     batch_corpus = batch_near_dup_corpus(new_vecs)
 
     # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
@@ -236,7 +245,8 @@ def incremental_near_dup_update(
     new_edges = _new_member_edges(
         base_corpus.select("vec_id", "v", "norm"), batch_corpus, bits
     ).localCheckpoint()
-    prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
+    if prior is None:
+        prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
 
     # Components on the CONTRACTED graph only: every old endpoint
     # collapses to its prior canonical id (prior canonical = min vec_id

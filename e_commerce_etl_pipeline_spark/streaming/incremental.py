@@ -120,3 +120,88 @@ def time_partitioned_append_stream(
     else:
         writer = writer.trigger(processingTime="15 minutes")
     return writer.start()
+
+
+def near_dup_index_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming maintenance of the near-dup cluster index: each
+    micro-batch of new vectors (vec_id, embedding) grows the stored
+    assignment via extensions.incremental_clusters — the round-8
+    incremental path (touched-bucket re-rank, contracted components,
+    broadcast relabel) driven by Structured Streaming instead of a cron
+    rebuild.
+
+    ``work_dir`` holds the growing corpus (``embeddings.parquet``) and
+    the maintained assignment (``near_dup_assignment.parquet``; seeded
+    from the full build on first use). Per batch, in this order:
+
+    1. grow the assignment from the CURRENT corpus + prior assignment
+       (the batch is not yet in the corpus — the update requires that),
+       materialized before any mutation;
+    2. overwrite the assignment table;
+    3. append the batch vectors to the corpus table.
+
+    Crash/replay contract (checkpointed foreachBatch is at-least-once):
+    a replay AFTER step 3 trips the id-disjointness guard — the batch
+    is already fully applied, so it is SKIPPED (loudly, stderr). A
+    crash between 2 and 3 replays with the batch absent from the corpus
+    but present in the prior assignment; the update re-derives the same
+    edges and min-label merge is idempotent, so the stream converges to
+    the same assignment. The hash tier is pinned at stream start
+    (``bits``): when corpus growth crosses the next lsh_bits step,
+    stop the stream and re-tier with a full rebuild.
+    """
+    import sys
+
+    from ..extensions import similarity as S
+    from ..extensions.incremental_clusters import incremental_near_dup_update
+    from ..operators.index_store import table_dir
+
+    bits = S.lsh_bits(S.corpus_count(spark, work_dir))
+    assign_path = f"{work_dir.rstrip('/')}/near_dup_assignment.parquet"
+    emb_path = table_dir(work_dir, "embeddings")
+
+    from ..operators import fsops
+
+    if not fsops.exists(assign_path, spark):
+        S.near_dup_clusters(spark, work_dir).write.parquet(assign_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prior = spark.read.parquet(assign_path)
+        try:
+            grown = incremental_near_dup_update(
+                spark, work_dir, batch_df, prior=prior, bits=bits
+            ).localCheckpoint()  # materialize BEFORE overwriting its input
+        except ValueError as e:
+            if "overlap" in str(e):
+                print(
+                    f"near_dup_index_stream: batch {batch_id} already "
+                    f"applied (replay) — skipped: {e}",
+                    file=sys.stderr,
+                )
+                return
+            raise
+        grown.write.mode("overwrite").parquet(assign_path)
+        # append with the corpus table's own embedding element type —
+        # a mixed float/double parquet directory would poison later reads
+        emb_type = spark.read.parquet(emb_path).schema["embedding"].dataType
+        batch_df.select(
+            F.col("vec_id").cast("long"),
+            F.col("embedding").cast(emb_type).alias("embedding"),
+        ).write.mode("append").parquet(emb_path)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 minutes")
+    return writer.start()
