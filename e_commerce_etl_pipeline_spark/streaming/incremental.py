@@ -122,6 +122,39 @@ def time_partitioned_append_stream(
     return writer.start()
 
 
+
+
+def _assignment_root(work_dir: str) -> str:
+    return f"{work_dir.rstrip('/')}/near_dup_assignment.parquet"
+
+
+def _latest_assignment_version(spark: SparkSession, root: str) -> int | None:
+    """Highest v=<n> child carrying a _SUCCESS marker (a complete
+    Spark-committed write); incomplete crash leftovers are skipped."""
+    from ..operators import fsops
+
+    if not fsops.exists(root, spark):
+        return None
+    complete = [
+        int(name[2:])
+        for name in fsops.list_child_names(root, spark)
+        if name.startswith("v=")
+        and fsops.exists(f"{root}/{name}/_SUCCESS", spark)
+    ]
+    return max(complete) if complete else None
+
+
+def read_assignment(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The current near-dup assignment maintained by
+    near_dup_index_stream: the latest COMPLETE version directory."""
+    root = _assignment_root(work_dir)
+    v = _latest_assignment_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(
+            f"no complete near-dup assignment version under {root}"
+        )
+    return spark.read.parquet(f"{root}/v={v}")
+
 def near_dup_index_stream(
     spark: SparkSession,
     stream: DataFrame,
@@ -137,24 +170,31 @@ def near_dup_index_stream(
     rebuild.
 
     ``work_dir`` holds the growing corpus (``embeddings.parquet``) and
-    the maintained assignment (``near_dup_assignment.parquet``; seeded
-    from the full build on first use). Per batch, in this order:
+    the maintained assignment under ``near_dup_assignment.parquet/v=<n>``
+    VERSION directories (seeded from the full build as v=0 on first
+    use); readers take the highest version that carries a ``_SUCCESS``
+    marker (read_assignment), so a crash mid-write can never expose a
+    partial table — the same keep-latest-complete discipline as
+    operators.index_store. Per batch, in this order:
 
-    1. grow the assignment from the CURRENT corpus + prior assignment
-       (the batch is not yet in the corpus — the update requires that),
-       materialized before any mutation;
-    2. overwrite the assignment table;
-    3. append the batch vectors to the corpus table.
+    1. grow the assignment from the CURRENT corpus + latest complete
+       assignment version (the batch is not yet in the corpus — the
+       update requires that), materialized before any write;
+    2. write assignment version v=<batch_id + 1> (a replayed batch
+       rewrites ITS OWN version — deterministic, idempotent);
+    3. append the batch vectors to the corpus table;
+    4. prune versions older than the previous one.
 
     Crash/replay contract (checkpointed foreachBatch is at-least-once):
     a replay AFTER step 3 trips the id-disjointness guard — the batch
     is already fully applied, so it is SKIPPED (loudly, stderr). A
-    crash between 2 and 3 replays with the batch absent from the corpus
-    but present in the prior assignment; the update re-derives the same
-    edges and min-label merge is idempotent, so the stream converges to
-    the same assignment. The hash tier is pinned at stream start
-    (``bits``): when corpus growth crosses the next lsh_bits step,
-    stop the stream and re-tier with a full rebuild.
+    crash during step 2 leaves an incomplete version that readers skip;
+    a crash between 2 and 3 replays with the batch absent from the
+    corpus but present in the prior assignment; the update re-derives
+    the same edges and min-label merge is idempotent, so the stream
+    converges to the same assignment. The hash tier is pinned at stream
+    start (``bits``): when corpus growth crosses the next lsh_bits
+    step, stop the stream and re-tier with a full rebuild.
     """
     import sys
 
@@ -163,18 +203,20 @@ def near_dup_index_stream(
     from ..operators.index_store import table_dir
 
     bits = S.lsh_bits(S.corpus_count(spark, work_dir))
-    assign_path = f"{work_dir.rstrip('/')}/near_dup_assignment.parquet"
+    assign_root = _assignment_root(work_dir)
     emb_path = table_dir(work_dir, "embeddings")
 
     from ..operators import fsops
 
-    if not fsops.exists(assign_path, spark):
-        S.near_dup_clusters(spark, work_dir).write.parquet(assign_path)
+    if _latest_assignment_version(spark, assign_root) is None:
+        S.near_dup_clusters(spark, work_dir).write.parquet(
+            f"{assign_root}/v=0"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        prior = spark.read.parquet(assign_path)
+        prior = read_assignment(spark, work_dir)
         try:
             grown = incremental_near_dup_update(
                 spark, work_dir, batch_df, prior=prior, bits=bits
@@ -188,7 +230,8 @@ def near_dup_index_stream(
                 )
                 return
             raise
-        grown.write.mode("overwrite").parquet(assign_path)
+        v = batch_id + 1
+        grown.write.mode("overwrite").parquet(f"{assign_root}/v={v}")
         # append with the corpus table's own embedding element type —
         # a mixed float/double parquet directory would poison later reads
         emb_type = spark.read.parquet(emb_path).schema["embedding"].dataType
@@ -196,6 +239,10 @@ def near_dup_index_stream(
             F.col("vec_id").cast("long"),
             F.col("embedding").cast(emb_type).alias("embedding"),
         ).write.mode("append").parquet(emb_path)
+        # keep this and the previous complete version; prune the rest
+        for name in fsops.list_child_names(assign_root, spark):
+            if name.startswith("v=") and int(name[2:]) < v - 1:
+                fsops.delete(f"{assign_root}/{name}", spark)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
     if checkpoint_dir:

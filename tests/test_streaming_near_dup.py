@@ -23,6 +23,7 @@ from e_commerce_etl_pipeline_spark.extensions.similarity import (
 from e_commerce_etl_pipeline_spark.plans.queries import load_table
 from e_commerce_etl_pipeline_spark.streaming.incremental import (
     near_dup_index_stream,
+    read_assignment,
 )
 
 
@@ -91,7 +92,12 @@ def test_streamed_index_matches_or_supersets_rebuild(spark, stream_dirs):
     )
     q.awaitTermination(300)
 
-    final = _groups(spark.read.parquet(f"{work_dir}/near_dup_assignment.parquet"))
+    # an incomplete (no _SUCCESS) version left by a crash must be
+    # invisible to readers — plant one above the real latest
+    bogus = f"{work_dir}/near_dup_assignment.parquet/v=99"
+    os.makedirs(bogus)
+    final = _groups(read_assignment(spark, work_dir))
+    shutil.rmtree(bogus)
     full = _groups(near_dup_clusters(spark, grown_dir))
 
     # coverage: the streamed index covers the full grown corpus exactly
