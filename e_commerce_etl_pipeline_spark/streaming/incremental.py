@@ -186,15 +186,19 @@ def near_dup_index_stream(
     4. prune versions older than the previous one.
 
     Crash/replay contract (checkpointed foreachBatch is at-least-once):
-    a replay AFTER step 3 trips the id-disjointness guard — the batch
-    is already fully applied, so it is SKIPPED (loudly, stderr). A
-    crash during step 2 leaves an incomplete version that readers skip;
+    a replay AFTER step 3 is recognized by ALL of its ids being stored
+    already — skipped (loudly, stderr); a PARTIAL id overlap is not a
+    replay but an id-allocation fault and fails the stream instead of
+    silently dropping rows. A crash during step 2 leaves an incomplete
+    version that readers skip;
     a crash between 2 and 3 replays with the batch absent from the
     corpus but present in the prior assignment; the update re-derives
     the same edges and min-label merge is idempotent, so the stream
     converges to the same assignment. The hash tier is pinned at stream
-    start (``bits``): when corpus growth crosses the next lsh_bits
-    step, stop the stream and re-tier with a full rebuild.
+    start (``bits``); every batch re-checks the corpus's tier and the
+    stream REFUSES (clear re-tier error) at the first batch that starts
+    past the next lsh_bits step — stale-bits occupancy degradation is
+    an error, not a silent cap.
     """
     import sys
 
@@ -216,20 +220,53 @@ def near_dup_index_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # No-silent-caps: the tier was pinned at stream start; growing a
+        # corpus past its lsh_bits step with stale bits silently degrades
+        # bucket occupancy forever. Detect and refuse instead (the count
+        # is fingerprint-memoized — one narrow job after each append).
+        cur_bits = S.lsh_bits(S.corpus_count(spark, work_dir))
+        if cur_bits != bits:
+            raise RuntimeError(
+                f"near_dup_index_stream: corpus crossed an lsh_bits step "
+                f"(stream started at {bits} bits, corpus now needs "
+                f"{cur_bits}) — stop the stream, full-rebuild the index "
+                f"at the new tier (near_dup_clusters), and restart"
+            )
+        # Three-way replay contract (one narrow corpus scan): a batch
+        # whose ids are ALL already stored is a checkpoint replay of a
+        # fully-applied batch — skip; NO overlap — apply; PARTIAL
+        # overlap is neither, it is an id-allocation fault — refuse
+        # loudly rather than silently dropping the new rows.
+        mx_batch = batch_df.agg(F.max("vec_id")).first()[0]
+        if mx_batch is not None and mx_batch >= S.TWIN_OFFSET:
+            raise RuntimeError(
+                f"near_dup_index_stream: batch {batch_id} vec_id "
+                f"{mx_batch} >= TWIN_OFFSET {S.TWIN_OFFSET}"
+            )
+        n_batch = batch_df.count()
+        n_over = batch_df.select("vec_id").join(
+            spark.read.parquet(emb_path).select("vec_id"),
+            "vec_id", "left_semi",
+        ).count()
+        if n_over == n_batch:
+            print(
+                f"near_dup_index_stream: batch {batch_id} already "
+                f"applied (all {n_batch} ids stored — checkpoint "
+                f"replay) — skipped",
+                file=sys.stderr,
+            )
+            return
+        if n_over:
+            raise RuntimeError(
+                f"near_dup_index_stream: batch {batch_id} PARTIALLY "
+                f"overlaps the stored corpus ({n_over}/{n_batch} ids) — "
+                f"not a replay; fix the id allocator"
+            )
         prior = read_assignment(spark, work_dir)
-        try:
-            grown = incremental_near_dup_update(
-                spark, work_dir, batch_df, prior=prior, bits=bits
-            ).localCheckpoint()  # materialize BEFORE overwriting its input
-        except ValueError as e:
-            if "overlap" in str(e):
-                print(
-                    f"near_dup_index_stream: batch {batch_id} already "
-                    f"applied (replay) — skipped: {e}",
-                    file=sys.stderr,
-                )
-                return
-            raise
+        grown = incremental_near_dup_update(
+            spark, work_dir, batch_df, prior=prior, bits=bits,
+            check_ids=False,  # the three-way pre-check above subsumes it
+        ).localCheckpoint()  # materialize BEFORE writing its input's successor
         v = batch_id + 1
         grown.write.mode("overwrite").parquet(f"{assign_root}/v={v}")
         # append with the corpus table's own embedding element type —

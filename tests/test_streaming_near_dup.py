@@ -116,3 +116,113 @@ def test_streamed_index_matches_or_supersets_rebuild(spark, stream_dirs):
     # the corpus table grew by exactly the streamed vectors
     n = spark.read.parquet(f"{work_dir}/embeddings.parquet").count()
     assert n == len(full) // 2
+
+
+def test_stream_refuses_past_lsh_bits_step(spark, sf_dir, tmp_path):
+    """Growing the corpus past its lsh_bits step with the stream-start
+    tier would silently degrade bucket occupancy — the stream must fail
+    with a re-tier error at the first batch that starts past the step
+    (lsh_bits steps sit at 32·2^b: 512, 1024, ...)."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    root = tmp_path
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert emb.count() == 500, "fixture assumes the sf0.001 corpus"
+    work_dir = str(root / "work")
+    source_dir = str(root / "source")
+    os.makedirs(source_dir)
+    # base 479 vectors (tier 4: <= 512); disjoint 21-id batches reach
+    # 500 then 521 — batch 2 STARTS past the 512 step and must refuse
+    emb.filter(F.col("vec_id") > 20).coalesce(1).write.parquet(
+        f"{work_dir}/embeddings.parquet"
+    )
+    held = emb.filter(F.col("vec_id") <= 20)
+    n_held = held.count()
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    for i in range(3):
+        b = held.select(
+            (F.col("vec_id") + (mx + 1 + n_held * i)).alias("vec_id"),
+            "embedding",
+        )
+        stage = str(root / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{source_dir}/batch_{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = near_dup_index_stream(
+        spark, stream, work_dir, checkpoint_dir=f"{work_dir}/_ckpt"
+    )
+    with pytest.raises(StreamingQueryException, match="lsh_bits step"):
+        q.awaitTermination(300)
+
+
+def _one_file_batch(df, stage_dir, source_dir, name):
+    df.coalesce(1).write.parquet(stage_dir)
+    shutil.move(
+        glob.glob(f"{stage_dir}/part-*.parquet")[0], f"{source_dir}/{name}"
+    )
+
+
+def test_stream_replay_skip_and_partial_overlap(spark, sf_dir, tmp_path):
+    """Replay contract: a batch whose ids are ALL already stored is a
+    checkpoint replay — skipped, stream healthy; a batch that PARTIALLY
+    overlaps the corpus is an id-allocation fault — the stream fails
+    instead of silently dropping the new rows."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+
+    # scenario 1: full-overlap batch (ids already stored) then a
+    # disjoint batch — replay skipped, disjoint applied, no failure
+    w1, s1 = str(tmp_path / "w1"), str(tmp_path / "s1")
+    os.makedirs(s1)
+    emb.coalesce(1).write.parquet(f"{w1}/embeddings.parquet")
+    _one_file_batch(
+        emb.filter(F.col("vec_id") <= 10).select("vec_id", "embedding"),
+        str(tmp_path / "st1a"), s1, "a_replay.parquet",
+    )
+    _one_file_batch(
+        emb.filter(F.col("vec_id") <= 5).select(
+            (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
+        ),
+        str(tmp_path / "st1b"), s1, "b_new.parquet",
+    )
+    q = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s1),
+        w1, checkpoint_dir=f"{w1}/_ckpt",
+    )
+    q.awaitTermination(300)
+    final = _groups(read_assignment(spark, w1))
+    new_ids = {r["vec_id"] for r in emb.filter(F.col("vec_id") <= 5)
+               .select((F.col("vec_id") + mx + 1).alias("vec_id")).collect()}
+    assert new_ids <= set(final), "disjoint batch after a replay must apply"
+
+    # scenario 2: partial overlap fails loudly
+    w2, s2 = str(tmp_path / "w2"), str(tmp_path / "s2")
+    os.makedirs(s2)
+    emb.coalesce(1).write.parquet(f"{w2}/embeddings.parquet")
+    half_old = emb.filter(F.col("vec_id") <= 5).select("vec_id", "embedding")
+    half_new = emb.filter(F.col("vec_id") <= 5).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
+    )
+    _one_file_batch(
+        half_old.unionByName(half_new), str(tmp_path / "st2"), s2,
+        "mixed.parquet",
+    )
+    q2 = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s2),
+        w2, checkpoint_dir=f"{w2}/_ckpt",
+    )
+    with pytest.raises(StreamingQueryException, match="PARTIALLY overlaps"):
+        q2.awaitTermination(300)
