@@ -107,6 +107,21 @@ def main() -> None:
     # JVM/codegen warm-up on a small unrelated action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Machine-speed calibration: a fixed CPU-bound job whose work never
+    # changes across rounds, so every artifact carries its own
+    # throughput normalizer. Round 8 measured ~40% ambient drift on the
+    # SAME commit 4h apart (docs/SCALE.md "Bench drift control");
+    # cross-round comparisons should divide by calib_sec ratios before
+    # reading anything as a regression. min-of-3 like the query timings.
+    def _calib_once() -> float:
+        t0 = time.time()
+        spark.range(2_000_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000000007)"
+        ).collect()
+        return time.time() - t0
+
+    calib_sec = round(min(_calib_once() for _ in range(3)), 3)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -202,6 +217,7 @@ def main() -> None:
         "basket_fence_dropped_rows": basket_dropped,
         "lsh_fence_dropped_vecs": lsh_dropped,
         "near_dup_recall": near_dup_recall,
+        "calib_sec": calib_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
