@@ -1,1 +1,6 @@
-from .incremental import incremental_upsert_stream, run_incremental_batch  # noqa: F401
+from .incremental import (  # noqa: F401
+    incremental_upsert_stream,
+    near_dup_index_stream,
+    read_assignment,
+    run_incremental_batch,
+)
