@@ -279,7 +279,12 @@ def incremental_near_dup_update(
 
     contracted = _contract(_contract(new_edges, "src"), "dst")
     # isolated new vectors (no edge at all) must still appear in the
-    # assignment: self-edges register them as singleton components
+    # assignment: self-edges register them as singleton components.
+    # Deliberate asymmetry vs the full build (which, like
+    # dedup_clusters, omits edge-less singletons): an ingest pipeline
+    # needs every ACCEPTED vector assigned — callers diffing against a
+    # rebuild should expect the incremental assignment ⊇ rebuild on
+    # exactly these singleton rows.
     selves = batch_corpus.select(
         F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
     )
