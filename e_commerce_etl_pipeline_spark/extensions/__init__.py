@@ -17,6 +17,7 @@ from .tfidf import EXT_QUERIES as TFIDF_QUERIES  # noqa: F401
 from .fusion import EXT_QUERIES as FUSION_QUERIES  # noqa: F401
 from .corpus_prep import EXT_QUERIES as CORPUS_PREP_QUERIES  # noqa: F401
 from .incremental_clusters import EXT_QUERIES as INCREMENTAL_QUERIES  # noqa: F401
+from .semantic_dedup import EXT_QUERIES as SEMANTIC_DEDUP_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
@@ -32,4 +33,5 @@ ALL_EXT_QUERIES = {
     **COMPONENTS_QUERIES,
     **CURATION_QUERIES,
     **INCREMENTAL_QUERIES,
+    **SEMANTIC_DEDUP_QUERIES,
 }

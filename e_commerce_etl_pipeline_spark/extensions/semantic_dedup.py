@@ -1,0 +1,175 @@
+"""SemDeDup-style semantic deduplication on trained IVF cells.
+
+The third near-duplicate method of the engine, complementing the two
+sign-LSH paths (``embedding_near_dup_pairs`` — random-hyperplane
+buckets + pair-aware fence — and ``near_dup_clusters`` — multi-table
+chain links + connected components): candidate pairs are scoped by the
+TRAINED coarse quantizer (the stored IVF centroids of
+``similarity.trained_centroids``) instead of random hyperplanes.  This
+is the published SemDeDup recipe (Abbas et al. 2023: k-means the
+embeddings, deduplicate within each cluster) re-expressed Spark-first;
+the reference pipeline has no embedding surface at all — this family
+exists for the LLM-training-data north star (BASELINE.json), not for
+reference parity.
+
+Within a cell, all-pairs comparison is NOT affordable at scale (the
+cell count is capped at MAX_CELLS, so cell occupancy grows linearly
+with the corpus past ~64k vectors — all-pairs would reintroduce the
+exact quadratic cliff the chain-link path was built to kill).  The
+same cure applies: rank cell members on (rotated sign signature,
+normalized chain projection, vec_id) — near-identical vectors sort
+adjacent — and compare each member only with its SEM_CHAIN_W
+successors.  Candidates stay <= W * n at ANY cell occupancy, with no
+fence and no drops.
+
+Verdict semantics (deterministic, oracle-checkable without recursion):
+an edge is a verified pair (cosine >= NEAR_DUP_COS); a vector is a
+semantic duplicate iff some verified edge links it to a LOWER vec_id,
+and ``dup_of`` is the smallest such id.  This is the "keep the first
+copy" rule of exact dedup applied to the verified-pair graph — direct
+neighbors only, no transitive closure (the cluster view of the same
+corpus is ``near_dup_clusters``).
+
+Scale shape (100 TB): centroid training + assignment are the stored
+IVF index artifacts (built once per corpus snapshot, shared across
+queries and sessions); the verdict adds ONE ranking window keyed by
+cell (a single shuffle on cell id) and one W-successor equi-join on
+(cell, rank).  No collect, no per-row Python, no quadratic stage.
+
+Cross-engine determinism: centroid means are exact scaled-integer
+sums (see similarity._kmeans_centroids), cosines are left-associated
+dot products divided in one IEEE operation, and the chain keys are the
+shared _rot_sig/_chain_proj expressions — the DuckDB oracle reuses the
+same SQL fragments as the IVF and near-dup oracles (_CM_SQL,
+_ND_CORPUS_SQL), so the mirrors cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import index_store
+from .similarity import (
+    NEAR_DUP_CHAIN_W,
+    NEAR_DUP_COS,
+    _assign_nearest,
+    _chain_proj,
+    _chain_proj_sql,
+    _CM_SQL,
+    _emb_table,
+    _mdot_sql,
+    _mnorm_sql,
+    _ND_CORPUS_SQL,
+    _near_dup_corpus,
+    _PARAMS_SQL,
+    _rot_sig,
+    _rot_sig_sql,
+    _vdot_sql,
+    dot,
+    trained_centroids,
+)
+
+# Successors compared per cell-chain position. Shares the near-dup
+# family's width knob so a recall tuning (e.g. the measured W=64 sf10
+# lift) applies to every chain-bounded method at once.
+SEM_CHAIN_W = NEAR_DUP_CHAIN_W
+
+
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-dedup verdict over the twin corpus:
+    (vec_id, cell, is_semantic_dup, dup_of).
+
+    ``cell`` is the vector's nearest trained centroid (the IVF coarse
+    quantizer — reused index artifact, NOT retrained here); a vector is
+    flagged iff a chain-adjacent same-cell vector with a LOWER id is
+    within NEAR_DUP_COS cosine, ``dup_of`` = the smallest such id.
+    Runs on the same base+twin corpus as the other near-dup methods so
+    the three are directly comparable against one ground truth.
+
+    Stored as a fingerprint-keyed index artifact (one build per corpus
+    snapshot; a mutated table rebuilds; a non-default chain width gets
+    its own key so tuned runs never poison the default store)."""
+
+    def build() -> DataFrame:
+        corpus = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
+        assigned = _assign_nearest(corpus, trained_centroids(spark, sf_dir))
+        keyed = assigned.withColumn("__sig", _rot_sig(F.col("v"), 0)).withColumn(
+            "__proj", _chain_proj(F.col("v"), F.col("norm"), 0)
+        )
+        w = Window.partitionBy("cell").orderBy("__sig", "__proj", "vec_id")
+        r = keyed.withColumn("__rn", F.row_number().over(w))
+        left = (
+            r.select(
+                "cell", F.col("vec_id").alias("va"), F.col("v").alias("av"),
+                F.col("norm").alias("an"), F.col("__rn").alias("ra"),
+            )
+            .withColumn(
+                "__k", F.explode(F.sequence(F.lit(1), F.lit(SEM_CHAIN_W)))
+            )
+            .withColumn("rb", F.col("ra") + F.col("__k"))
+        )
+        right = r.select(
+            "cell", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+            F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
+        )
+        edges = (
+            left.join(right, ["cell", "rb"])
+            .filter(
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
+            )
+            .select(
+                F.least("va", "vb").alias("lo"),
+                F.greatest("va", "vb").alias("hi"),
+            )
+        )
+        dups = edges.groupBy(F.col("hi").alias("vec_id")).agg(
+            F.min("lo").alias("dup_of")
+        )
+        return (
+            assigned.select("vec_id", "cell")
+            .join(dups, "vec_id", "left")
+            .select(
+                "vec_id", "cell",
+                F.col("dup_of").isNotNull().alias("is_semantic_dup"),
+                "dup_of",
+            )
+        )
+
+    name = ("semantic_dedup_cells" if SEM_CHAIN_W == 16
+            else f"semantic_dedup_cells_w{SEM_CHAIN_W}")
+    return index_store.stored_df(spark, _emb_table(sf_dir), name, build)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_PARAMS_SQL}, {_CM_SQL}, {_ND_CORPUS_SQL}, a2 AS (
+  SELECT nb.vec_id,
+         MAX(struct_pack(cos := {_mdot_sql('nb.v', 'cm')} / (nb.norm * {_mnorm_sql('cm')}),
+                         negcell := -cm.cell)) AS best
+  FROM nb CROSS JOIN cm
+  GROUP BY nb.vec_id
+), asg AS (
+  SELECT nb.vec_id, nb.v, nb.norm, -struct_extract(best, 'negcell') AS cell
+  FROM a2 JOIN nb USING (vec_id)
+), rs AS (
+  SELECT vec_id, v, norm, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY {_rot_sig_sql(0)}, {_chain_proj_sql(0)}, vec_id) AS rn
+  FROM asg
+), e0 AS (
+  SELECT LEAST(a.vec_id, b2.vec_id) AS lo, GREATEST(a.vec_id, b2.vec_id) AS hi
+  FROM rs a JOIN rs b2
+    ON a.cell = b2.cell AND b2.rn - a.rn BETWEEN 1 AND {SEM_CHAIN_W}
+  WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}
+), dups AS (
+  SELECT hi AS vec_id, MIN(lo) AS dup_of FROM e0 GROUP BY hi
+)
+SELECT s.vec_id, s.cell, d.vec_id IS NOT NULL AS is_semantic_dup, d.dup_of
+FROM asg s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
+EXT_QUERIES = {
+    "semantic_dedup_cells": (semantic_dedup_cells, SEMANTIC_DEDUP_SQL),
+}

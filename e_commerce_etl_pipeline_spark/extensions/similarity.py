@@ -1141,8 +1141,12 @@ _MEANS_SQL = ",\n         ".join(
     for i in range(1, DIM + 1)
 )
 
-IVF_TOPK_SQL = f"""
-WITH {_PARAMS_SQL}, v AS (
+# The trained-centroid CTE chain (base corpus -> hash-ranked seeds ->
+# one exact Lloyd iteration -> `cm` centroid columns m1..mDIM), shared
+# verbatim by every oracle that consumes trained_centroids (ivf_topk,
+# ann_recall_eval, semantic_dedup_cells) so the mirrors can never
+# diverge from each other.
+_CM_SQL = f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), seeds AS (
   SELECT vec_id AS cell, v FROM v, params
@@ -1161,7 +1165,10 @@ WITH {_PARAMS_SQL}, v AS (
   SELECT cell,
          {_MEANS_SQL}
   FROM csums
-), a1 AS (
+)"""
+
+IVF_TOPK_SQL = f"""
+WITH {_PARAMS_SQL}, {_CM_SQL}, a1 AS (
   SELECT v.vec_id,
          MAX(struct_pack(cos := {_mdot_sql('v.v', 'cm')} / ({_list_norm_sql('v.v')} * {_mnorm_sql('cm')}),
                          negcell := -cm.cell)) AS best
