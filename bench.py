@@ -36,12 +36,13 @@ HEADLINE = [
     # LLM-pipeline extensions
     "text_stats", "doc_length_percentiles", "length_outlier_docs",
     "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
-    "duplicate_chunk_spans",
+    "duplicate_chunk_spans", "semantic_dedup_cells",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
     "embedding_cluster_summary", "embedding_norm_stats",
     "user_value_median", "multimodal_features",
     # hygiene gates
     "benchmark_contamination", "gopher_quality_flags", "repetition_flags",
+    "lm_rarity_docs",
     # corpus statistics + cross-modal fusion
     "tfidf_top_terms", "cross_source_overlap", "lexical_semantic_pairs",
     # corpus prep (cleaning / OOV gate / split / link stats)

@@ -18,6 +18,7 @@ from .fusion import EXT_QUERIES as FUSION_QUERIES  # noqa: F401
 from .corpus_prep import EXT_QUERIES as CORPUS_PREP_QUERIES  # noqa: F401
 from .incremental_clusters import EXT_QUERIES as INCREMENTAL_QUERIES  # noqa: F401
 from .semantic_dedup import EXT_QUERIES as SEMANTIC_DEDUP_QUERIES  # noqa: F401
+from .lm_score import EXT_QUERIES as LM_SCORE_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
@@ -34,4 +35,5 @@ ALL_EXT_QUERIES = {
     **CURATION_QUERIES,
     **INCREMENTAL_QUERIES,
     **SEMANTIC_DEDUP_QUERIES,
+    **LM_SCORE_QUERIES,
 }

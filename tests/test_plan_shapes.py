@@ -35,6 +35,12 @@ NESTED_LOOP_OK = {
     # one-row self-audit: five single-row aggregate counters crossJoined
     # into the summary row — every BNLJ input is exactly one row
     "near_dup_incremental_update",
+    # broadcast-centroid assignment of the twin corpus (≤ MAX_CELLS
+    # rows), same shape as ivf_topk/embedding_cluster_summary
+    "semantic_dedup_cells",
+    # scalar-subquery shape: the broadcast side is the one-row (N, V)
+    # LM statistics aggregate
+    "lm_rarity_docs",
 }
 
 

@@ -32,16 +32,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from e_commerce_etl_pipeline_spark.extensions import components  # noqa: E402
+from e_commerce_etl_pipeline_spark.extensions.semantic_dedup import (  # noqa: E402
+    SEM_CHAIN_W,
+    semantic_dedup_cells,
+)
 from e_commerce_etl_pipeline_spark.extensions.similarity import (  # noqa: E402
     MAX_LSH_BUCKET_VECS,
     N_TABLES,
     NEAR_DUP_CHAIN_W,
+    TWIN_OFFSET,
     _emb_table,
     corpus_count,
     embedding_near_dup_pairs,
     lsh_fence_dropped,
     near_dup_clusters,
     near_dup_recall_eval,
+    trained_centroids,
 )
 from e_commerce_etl_pipeline_spark.operators import index_store  # noqa: E402
 from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
@@ -86,6 +92,27 @@ def main() -> None:
     }
     recall_s = time.time() - t0
 
+    # SemDeDup-on-trained-cells (r8, third method). The earlier
+    # invalidate() wiped every artifact for this table, so both stages
+    # here are COLD: centroid training is timed separately (it is the
+    # shared IVF artifact, not a semantic-dedup cost), then the verdict
+    # build (assignment + per-cell chain join). Twin capture = flagged
+    # twins / planted twins — the method's recall on the guaranteed
+    # ground truth.
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    n_cells = trained_centroids(spark, sf_dir).count()
+    cents_s = time.time() - t0
+    t0 = time.time()
+    verdict = semantic_dedup_cells(spark, sf_dir)
+    n_verdicts = verdict.count()
+    sem_cold_s = time.time() - t0
+    n_dup = verdict.filter(F.col("is_semantic_dup")).count()
+    twins_flagged = verdict.filter(
+        (F.col("vec_id") >= TWIN_OFFSET) & F.col("is_semantic_dup")
+    ).count()
+
     out = {
         "metric": "near_dup_family",
         "sf_dir": sf_dir,
@@ -107,6 +134,15 @@ def main() -> None:
         },
         "recall": recall,
         "recall_eval_seconds": round(recall_s, 3),
+        "semantic_cells": {
+            "chain_w": SEM_CHAIN_W,
+            "n_cells": n_cells,
+            "centroids_cold_seconds": round(cents_s, 3),
+            "cold_build_seconds": round(sem_cold_s, 3),
+            "n_verdicts": n_verdicts,
+            "n_dup": n_dup,
+            "twin_capture": round(twins_flagged / float(n), 6),
+        },
     }
     line = json.dumps(out)
     if out_file:
