@@ -977,23 +977,64 @@ _SCALE = 10_000_000  # centroid means via exact scaled-integer sums
 
 
 def _assign_nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as a max_by HASH AGGREGATE, not a
-    vec_id-partitioned ranking window: the broadcast join still computes
-    n×K similarities (inherent to coarse quantization), but partial
-    aggregation collapses them to n rows MAP-SIDE, so the shuffle
-    carries n rows — a window would shuffle all n×K. Tie-break matches
-    the oracle's (csim DESC, cell ASC): max_by on struct(csim, -cell).
-    Returns (vec_id, v, norm, cell)."""
-    joined = emb.join(F.broadcast(cents)).select(
-        "vec_id", "v", "norm", "cell",
-        (dot(F.col("v"), F.col("cv"))
-         / (F.col("norm") * F.col("cnorm"))).alias("csim"),
-    )
-    return joined.groupBy("vec_id").agg(
-        F.first("v").alias("v"),        # constant per vec_id
-        F.first("norm").alias("norm"),
-        F.max_by(F.col("cell"),
-                 F.struct(F.col("csim"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    """Nearest-centroid assignment as an Arrow-batched matrix kernel,
+    not an n×K row join: every JVM-side shape of this join (fold-dot
+    max_by aggregate, slim aggregate + join-back, expanded element_at
+    chain, with and without exchange barriers) was measured at
+    ~80-100 µs·thread per PAIR on 200k×1024 at sf10 — ~600 s per pass —
+    because per-pair higher-order-function evaluation is interpreted
+    and the expanded chain's per-element array reads don't pipeline.
+    The n×K similarity matrix is the one kernel in this engine that is
+    pure dense arithmetic, so it runs in mapInPandas over numpy
+    (the brief's sanctioned escape hatch): ~2 s for the same pass.
+
+    Exactness is preserved by construction, not hoped for: the dot is
+    accumulated with a DIM-step loop ``acc += V[:,i] * C[:,i]`` —
+    LEFT-ASSOCIATED per (row, cell), the same (((v1·c1 + v2·c2) + …)
+    chain the JVM fold and the DuckDB oracle evaluate, so every IEEE
+    double is bit-identical (numpy elementwise ops are correctly
+    rounded hardware doubles; np.dot/matmul would pairwise-reorder and
+    is NOT used). csim = acc / (norm * cnorm) mirrors the operand
+    order of both engines. Tie-break: centroids are iterated in cell-
+    ascending order and updated on strict improvement, which is
+    exactly max_by(cell, struct(csim, -cell)) / the oracle's
+    MAX(struct_pack(cos, negcell)).
+
+    The centroid table is collected to the driver — BOUNDED by
+    MAX_CELLS (≤1024 rows), an index-build-sized collect, and shipped
+    to executors inside the UDF closure. Scale shape: one Arrow pass
+    over the corpus, no joined intermediate, no shuffle at all until
+    the caller aggregates. Returns (vec_id, v, norm, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.select("cell", "cv", "cnorm").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cell"])
+    cells_np = np.array([rows[i]["cell"] for i in order], dtype=np.int64)
+    c_mat = np.array([rows[i]["cv"] for i in order], dtype=np.float64)
+    cn_np = np.array([rows[i]["cnorm"] for i in order], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.stack(pdf["v"].to_numpy())          # b × DIM
+            norms = pdf["norm"].to_numpy(dtype=np.float64)  # b
+            acc = np.zeros((len(pdf), c_mat.shape[0]))      # b × K
+            for i in range(c_mat.shape[1]):                 # left-assoc dim loop
+                acc += v_mat[:, i:i + 1] * c_mat[None, :, i]
+            csim = acc / (norms[:, None] * cn_np[None, :])
+            # first max along cell-ascending axis == (csim DESC, cell ASC)
+            best = np.argmax(csim, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "norm": pdf["norm"],
+                "cell": cells_np[best],
+            })
+
+    return emb.select("vec_id", "v", "norm").mapInPandas(
+        assign, "vec_id long, v array<double>, norm double, cell long"
     )
 
 
@@ -1005,7 +1046,16 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
     Exactness contract: new centroid components are
     CAST(Σ floor(v_i·1e7) AS DOUBLE) / CAST(count·1e7 AS DOUBLE) — the
     sums are exact BIGINTs, so the oracle reproduces the identical
-    doubles. Cell ids are the seed vec_ids."""
+    doubles. Cell ids are the seed vec_ids.
+
+    The component sums go through ONE posexplode pass, not DIM
+    element_at() aggregate columns: ``v`` is a COMPUTED array (a cast
+    transform over the parquet column, projection-collapsed rather than
+    materialized), so each element_at re-evaluated the whole 64-lambda
+    array build — 64 accesses × 64 lambdas per row, measured 527 s for
+    the old wide aggregate at sf10 vs ~4 s exploded (same exact BIGINT
+    sums either way; map-side partial aggregation still collapses the
+    exploded rows to k·DIM before the shuffle)."""
     seeds = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
@@ -1013,17 +1063,24 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> DataFrame:
                 F.col("norm").alias("cnorm"))
     )
     assigned0 = _assign_nearest(emb, seeds)
-    sums = [
-        F.sum(F.floor(F.element_at("v", i) * F.lit(_SCALE)).cast("long")).alias(f"s{i}")
-        for i in range(1, DIM + 1)
-    ]
-    cents = assigned0.groupBy("cell").agg(F.count(F.lit(1)).alias("nc"), *sums)
-    means = [
-        (F.col(f"s{i}").cast("double")
-         / (F.col("nc") * F.lit(_SCALE)).cast("double"))
-        for i in range(1, DIM + 1)
-    ]
-    out = cents.select("cell", F.array(*means).alias("cv"))
+    dims = (
+        assigned0.select("cell", F.posexplode("v").alias("__i", "__x"))
+        .groupBy("cell", "__i")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.floor(F.col("__x") * F.lit(_SCALE)).cast("long")).alias("s"),
+        )
+    )
+    cents = dims.groupBy("cell").agg(
+        F.max("nc").alias("nc"),  # every dim counts the same members
+        F.array_sort(F.collect_list(F.struct("__i", "s"))).alias("__ss"),
+    )
+    means = F.transform(
+        F.col("__ss"),
+        lambda t: t["s"].cast("double")
+        / (F.col("nc") * F.lit(_SCALE)).cast("double"),
+    )
+    out = cents.select("cell", means.alias("cv"))
     return out.withColumn("cnorm", l2_norm(F.col("cv")))
 
 

@@ -99,24 +99,26 @@ def test_keep_newest_is_pure_hash_aggregate(spark, sf_dir):
     assert "Sort [" not in plan
 
 
-def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
-    """IVF coarse assignment must be the max_by hash aggregate (map-side
-    partials collapse n×K similarity rows to n before the shuffle), not
-    an n×K ranking window. Since r6 the assignment is an index artifact:
-    the BUILD plan carries the aggregate; the QUERY plan just scans the
-    stored inverted lists, leaving only the bounded query-side fan-out
-    and final per-query top-k windows."""
+def test_ivf_assignment_is_arrow_kernel_not_window(spark, sf_dir):
+    """IVF coarse assignment must be the Arrow-batched matrix kernel
+    (one mapInPandas pass over the corpus — measured ~2 s where every
+    JVM per-pair join shape cost ~600 s at sf10), never an n×K joined
+    intermediate: no ranking window, no nested-loop join, no sort in
+    the BUILD plan. Since r6 the assignment is an index artifact: the
+    QUERY plan just scans the stored inverted lists, leaving only the
+    bounded query-side fan-out and final per-query top-k windows."""
     from e_commerce_etl_pipeline_spark.extensions import similarity
 
     build_plan = similarity._assign_nearest(
         similarity._emb(spark, sf_dir),
         similarity.trained_centroids(spark, sf_dir),
     )._jdf.queryExecution().executedPlan().toString()
-    assert "max_by" in build_plan
+    assert "MapInPandas" in build_plan
     assert "Window [" not in build_plan, "corpus-side window in IVF build"
+    assert "NestedLoop" not in build_plan, "n×K joined intermediate"
+    assert "Sort [" not in build_plan
 
     plan = _plan(spark, sf_dir, "ivf_topk")
-    assert "max_by" in plan or "ivf_assignment" in plan
     win_lines = [l for l in plan.splitlines() if "Window [" in l]
     assert len(win_lines) <= 2, win_lines
 
