@@ -46,7 +46,7 @@ _ND_CORPUS_SQL), so the mirrors cannot drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import index_store
@@ -66,7 +66,7 @@ from .similarity import (
     _rot_sig,
     _rot_sig_sql,
     _vdot_sql,
-    dot,
+    chain_edges_arrow,
     trained_centroids,
 )
 
@@ -97,32 +97,11 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed = assigned.withColumn("__sig", _rot_sig(F.col("v"), 0)).withColumn(
             "__proj", _chain_proj(F.col("v"), F.col("norm"), 0)
         )
-        w = Window.partitionBy("cell").orderBy("__sig", "__proj", "vec_id")
-        r = keyed.withColumn("__rn", F.row_number().over(w))
-        left = (
-            r.select(
-                "cell", F.col("vec_id").alias("va"), F.col("v").alias("av"),
-                F.col("norm").alias("an"), F.col("__rn").alias("ra"),
-            )
-            .withColumn(
-                "__k", F.explode(F.sequence(F.lit(1), F.lit(SEM_CHAIN_W)))
-            )
-            .withColumn("rb", F.col("ra") + F.col("__k"))
-        )
-        right = r.select(
-            "cell", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-            F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
-        )
-        edges = (
-            left.join(right, ["cell", "rb"])
-            .filter(
-                dot(F.col("av"), F.col("bv"))
-                / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
-            )
-            .select(
-                F.least("va", "vb").alias("lo"),
-                F.greatest("va", "vb").alias("hi"),
-            )
+        edges = chain_edges_arrow(
+            keyed, ["cell"], SEM_CHAIN_W, NEAR_DUP_COS
+        ).select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
         )
         dups = edges.groupBy(F.col("hi").alias("vec_id")).agg(
             F.min("lo").alias("dup_of")

@@ -663,48 +663,101 @@ def with_chain_keys(df: DataFrame) -> DataFrame:
     return df.withColumn("__sig", sig).withColumn("__proj", proj)
 
 
+def chain_edges_arrow(
+    keyed: DataFrame,
+    key_cols: list[str],
+    w: int,
+    threshold: float,
+) -> DataFrame:
+    """W-successor verified chain edges as ONE Arrow pass — no ranking
+    window, no W-way self-join, no per-pair JVM expression evaluation.
+
+    The former shape (rank window + explode(1..W) + equi-join on
+    (keys, rank) + fold-dot filter) paid the engine's measured
+    ~80-100 µs·thread per PAIR for the interpreted higher-order-function
+    cosine — ~N_TABLES·W·n pairs, the dominant cost of the sf10 cluster
+    build. Chain adjacency is ORDER adjacency, so the pairs don't need
+    a join at all: repartition by the chain keys (each group lands
+    whole in one partition), sort within partitions by (keys, __sig,
+    __proj, vec_id) — the exact former window order — and compare each
+    row with its k-th successor via SHIFTED numpy arrays, masking pairs
+    that cross a key-group boundary. Work per partition is W·DIM
+    vectorized ops over the partition's rows; Arrow ships each corpus
+    row once (not once per candidate pair).
+
+    Exactness by construction: the dot accumulates with the
+    left-associated dim loop ``acc += V[:-k,i] * V[k:,i]`` (the same
+    IEEE chain as the JVM fold and the SQL oracle — products commute
+    bit-exactly), and cos = acc / (norm_a * norm_b) mirrors both
+    engines' operand order. The emitted edge SET is identical to the
+    join formulation — pinned by the DuckDB recursive-CTE oracle.
+
+    ``keyed`` must carry (vec_id, v, norm, *key_cols, __sig, __proj)."""
+    import numpy as np
+    import pandas as pd
+
+    part = (
+        keyed.select("vec_id", "v", "norm", *key_cols, "__sig", "__proj")
+        .repartition(*[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols, "__sig", "__proj", "vec_id")
+    )
+
+    def gen(batches):
+        # concatenate the partition's Arrow batches: a key group may
+        # straddle batch boundaries, and cross-batch successor pairs
+        # must not be lost
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        m = len(pdf)
+        if m < 2:
+            return
+        v_mat = np.stack(pdf["v"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        keys = [pdf[c].to_numpy() for c in key_cols]
+        src_all, dst_all = [], []
+        for k in range(1, w + 1):
+            if k >= m:
+                break
+            mask = np.ones(m - k, dtype=bool)
+            for arr in keys:
+                mask &= arr[:-k] == arr[k:]
+            if not mask.any():
+                continue
+            acc = np.zeros(m - k)
+            for i in range(v_mat.shape[1]):  # left-assoc dim loop
+                acc += v_mat[:-k, i] * v_mat[k:, i]
+            cos = acc / (norms[:-k] * norms[k:])
+            sel = mask & (cos >= threshold)
+            if sel.any():
+                src_all.append(ids[:-k][sel])
+                dst_all.append(ids[k:][sel])
+        if src_all:
+            yield pd.DataFrame({
+                "src": np.concatenate(src_all),
+                "dst": np.concatenate(dst_all),
+            })
+
+    return part.mapInPandas(gen, "src long, dst long")
+
+
 def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified chain-link candidate edges — the single-plan build stage
-    of near_dup_clusters, exposed so plan evidence (docs/PLANS.md) can
-    show the BUILD plan rather than the stored artifact's two-node scan:
-    ONE exploded projection derives every table's bucket from a single
-    wide scan, ONE ranking window keyed (t, bucket) orders members on
-    (rotated sign signature, normalized projection, vec_id), and ONE
-    W-successor equi-join on (t, bucket, rank) feeds cosine
-    verification. Ranks are identical to the former per-table windows
-    (partitioning by (t, bucket) over exploded rows IS the per-table
-    per-bucket ranking), so the emitted edge set is unchanged — pinned
-    by the DuckDB recursive-CTE oracle. Candidates ≤ N_TABLES·W·n at
-    any bucket occupancy — see near_dup_clusters for the full design."""
+    """Verified chain-link candidate edges — the build stage of
+    near_dup_clusters, exposed so plan evidence (docs/PLANS.md) can
+    show the BUILD plan rather than the stored artifact's two-node
+    scan: ONE exploded projection derives every table's bucket from a
+    single wide scan, then chain_edges_arrow forms and verifies the
+    W-successor pairs in a single Arrow pass (one shuffle on
+    (t, bucket), in-partition sort on the chain order, shifted-array
+    cosines). Candidates ≤ N_TABLES·W·n at any bucket occupancy — see
+    near_dup_clusters for the full design; the emitted edge set is
+    pinned by the DuckDB recursive-CTE oracle."""
     base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
     bits = lsh_bits(corpus_count(spark, sf_dir))
     r = with_chain_keys(tabled_buckets(base, bits))
-    w = Window.partitionBy("t", "bucket").orderBy("__sig", "__proj", "vec_id")
-    r = r.withColumn("__rn", F.row_number().over(w))
-    left = (
-        r.select(
-            "t", "bucket", F.col("vec_id").alias("va"),
-            F.col("v").alias("av"), F.col("norm").alias("an"),
-            F.col("__rn").alias("ra"),
-        )
-        .withColumn(
-            "__k",
-            F.explode(F.sequence(F.lit(1), F.lit(NEAR_DUP_CHAIN_W))),
-        )
-        .withColumn("rb", F.col("ra") + F.col("__k"))
-    )
-    right = r.select(
-        "t", "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-        F.col("norm").alias("bn"), F.col("__rn").alias("rb"),
-    )
-    return (
-        left.join(right, ["t", "bucket", "rb"])
-        .filter(
-            dot(F.col("av"), F.col("bv"))
-            / (F.col("an") * F.col("bn")) >= NEAR_DUP_COS
-        )
-        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
-    )
+    return chain_edges_arrow(r, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS)
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
