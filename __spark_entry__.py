@@ -49,12 +49,15 @@ _PRIORITY = [
     # flagship TPC-H trio
     "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
     # LLM-pipeline extensions: text analysis
-    "text_stats", "lang_distribution", "lang_id_docs", "rolling_fingerprint_docs",
+    "text_stats", "lang_id_docs", "rolling_fingerprint_docs",
     # dedup family
-    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "exact_dedup", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_docs", "dedup_clusters",
+    # r8 batch 2: exact-span dedup-with-rewrite, token-window chunking,
+    # corpus-trained quality classifier
+    "segment_dedup_docs", "chunk_documents", "quality_classifier_scores",
     # similarity search / embeddings
-    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk",
+    "lsh_bucketed_topk", "ivf_topk",
     "embedding_label_centroids", "embedding_near_dup_pairs", "ann_recall_eval",
     # r7: the near-dup recall gate + the recall-preserving cluster path
     "near_dup_clusters", "near_dup_recall_eval",
@@ -76,7 +79,7 @@ _PRIORITY = [
     "order_priority_counts",
     "customer_order_stats", "user_running_totals",
     "salted_event_type_totals",
-    # NOTE (r4, updated r8): 55 shapes compete for the driver's observed
+    # NOTE (r4, updated r8): 58 shapes compete for the driver's observed
     # 50-entry window; positions 51+ fall outside it but stay verified
     # each run by tests/test_full_registry_oracle.py and
     # CHECK_ORACLE_FULL_r{N}.txt. Out-of-window by choice:
@@ -90,6 +93,13 @@ _PRIORITY = [
     # kernel also grades via sales_rollup and order_priority_counts) —
     # displaced in r8 so SemDeDup-on-cells and the corpus-LM rarity
     # scorer (this round's new first-class operators) grade in-window.
+    # Displaced late-r8 for the second operator batch (segment_dedup_docs,
+    # chunk_documents, quality_classifier_scores): lang_distribution
+    # (same lang-ID kernel as in-window lang_id_docs, aggregated),
+    # minhash_signatures (a strict sub-stage of in-window
+    # minhash_lsh_pairs), and brute_force_topk (embedded verbatim as the
+    # ground-truth side of in-window ann_recall_eval).
+    "lang_distribution", "minhash_signatures", "brute_force_topk",
     "cube_sales", "pivot_status_by_priority",
     "sessionize_events", "events_hourly_windows",
     "user_value_median_pandas",

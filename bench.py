@@ -37,6 +37,7 @@ HEADLINE = [
     "text_stats", "doc_length_percentiles", "length_outlier_docs",
     "exact_dedup", "minhash_lsh_pairs", "simhash_docs",
     "duplicate_chunk_spans", "semantic_dedup_cells",
+    "segment_dedup_docs", "chunk_documents", "quality_classifier_scores",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "quantized_topk",
     "embedding_cluster_summary", "embedding_norm_stats",
     "user_value_median", "multimodal_features",

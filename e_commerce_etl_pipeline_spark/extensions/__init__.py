@@ -19,6 +19,8 @@ from .corpus_prep import EXT_QUERIES as CORPUS_PREP_QUERIES  # noqa: F401
 from .incremental_clusters import EXT_QUERIES as INCREMENTAL_QUERIES  # noqa: F401
 from .semantic_dedup import EXT_QUERIES as SEMANTIC_DEDUP_QUERIES  # noqa: F401
 from .lm_score import EXT_QUERIES as LM_SCORE_QUERIES  # noqa: F401
+from .chunking import EXT_QUERIES as CHUNKING_QUERIES  # noqa: F401
+from .quality_model import EXT_QUERIES as QUALITY_MODEL_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
@@ -36,4 +38,6 @@ ALL_EXT_QUERIES = {
     **INCREMENTAL_QUERIES,
     **SEMANTIC_DEDUP_QUERIES,
     **LM_SCORE_QUERIES,
+    **CHUNKING_QUERIES,
+    **QUALITY_MODEL_QUERIES,
 }

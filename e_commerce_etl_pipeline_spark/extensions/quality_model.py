@@ -1,0 +1,201 @@
+"""Model-based document quality scoring: the classifier-filter step of
+the published LLM-pretraining recipes (GPT-3 / LLaMA / palm-style
+"train a linear classifier on a trusted-vs-web split, score every
+document, keep the high-scoring tail"), trained IN-ENGINE on the
+corpus itself.
+
+Training signal: the deterministic heuristic ``text.quality_score``
+labels the clearly-good (≥ POS_T) and clearly-bad (< NEG_T) documents
+of the TRAIN split (the shared md5 split of corpus_prep.split_col —
+the scored val docs never leak into the model); the middle band stays
+unlabeled. The model is a per-token smoothed class posterior
+P(pos | w) = (c_pos(w)+1) / (c_pos(w)+c_neg(w)+2), and a document's
+score is the mean posterior over its tokens — a bag-of-words linear
+scorer exactly like the fastText-style filters in the published
+recipes, with Laplace-smoothed frequency weights instead of learned
+ones. Unseen tokens get the uninformative prior 1/2.
+
+Cross-engine determinism (the repo's no-float-log rule, see
+extensions/lm_score.py): no logs, no float accumulation. Per-token
+weights are fixed-point BIGINTs floor(1e9 · (c_pos+1)/(c_pos+c_neg+2))
+— one IEEE division + multiplication per DISTINCT vocabulary term,
+mirrored verbatim by the DuckDB oracle — and a document's score is an
+exact BIGINT sum Σ tf·w, so the result is byte-identical under any
+partial-aggregation order. The keep/drop decision at posterior 1/2 is
+the INTEGER comparison 2·score_fp > n_words·10^9 — no float threshold
+at the decision boundary at all.
+
+Scale shape (100 TB):
+- token statistics come from the SHARED term-frequencies artifact
+  (one corpus explode+aggregate per snapshot, fingerprint-keyed);
+- the trained model is vocabulary-bounded — a (term, weight) table
+  aggregated from the TF rows of the labeled train subset; it
+  broadcasts when it fits (AQE picks the broadcast at runtime),
+  shuffle-joins on term otherwise;
+- scoring is ONE left join + ONE per-doc hash aggregate over
+  (doc, term, tf) rows — never the raw token stream;
+- the weights table is itself fingerprint-cached
+  (index_store.cached_df), so repeat scoring runs retrain nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index_store
+from ..plans.queries import load_table
+from .corpus_prep import VAL_HEX_BOUND, split_col
+from .text import quality_score
+from .tfidf import term_frequencies
+
+# heuristic label band: clearly-good / clearly-bad train docs only
+POS_T = 0.75
+NEG_T = 0.55
+
+# fixed-point scale for the per-token posterior weights; w_fp ∈
+# [0, 1e9], so a document's Σ tf·w stays ≤ n_words·1e9 ≪ 2^63
+W_SCALE = 10**9
+# floor(1e9 · (0+1)/(0+2)): the exact out-of-vocabulary prior weight
+OOV_W = W_SCALE // 2
+
+
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, c_pos, c_neg, w_fp): the trained model — smoothed
+    per-token class-posterior weights from the labeled train subset.
+    Fingerprint-cached per corpus snapshot (a mutated documents table
+    retrains, a repeat run loads the artifact)."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        labeled = (
+            docs.select(
+                "doc_id", quality_score(F.col("text")).alias("qs")
+            )
+            .filter(split_col(F.col("doc_id")) == "train")
+            .select(
+                "doc_id",
+                F.when(F.col("qs") >= POS_T, F.lit(1))
+                .when(F.col("qs") < NEG_T, F.lit(0))
+                .cast("long")
+                .alias("label"),
+            )
+            .filter(F.col("label").isNotNull())
+        )
+        tf = term_frequencies(spark, sf_dir)
+        per_term = (
+            tf.join(labeled, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.sum(F.col("tf") * F.col("label")).alias("c_pos"),
+                F.sum(F.col("tf") * (F.lit(1) - F.col("label"))).alias(
+                    "c_neg"
+                ),
+            )
+        )
+        return per_term.select(
+            "term",
+            "c_pos",
+            "c_neg",
+            F.floor(
+                F.lit(1.0e9)
+                * (
+                    (F.col("c_pos") + 1).cast("double")
+                    / (F.col("c_pos") + F.col("c_neg") + 2).cast("double")
+                )
+            ).alias("w_fp"),
+        )
+
+    return index_store.cached_df(
+        spark, index_store.table_dir(sf_dir, "documents"),
+        "quality_classifier_weights", build,
+    )
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document model verdict: (doc_id, lang, n_words, score_fp,
+    quality_ml, predicted_keep).
+
+    ``score_fp`` = Σ_w tf·w_fp — the exact fixed-point numerator;
+    ``quality_ml`` = mean per-token posterior in [0,1] (one final IEEE
+    division pair, operand order mirrored by the oracle);
+    ``predicted_keep`` = posterior-majority decision at 1/2, evaluated
+    as the integer comparison 2·score_fp > n_words·W_SCALE. Documents
+    with zero tokens have nothing to score and don't appear."""
+    tf = term_frequencies(spark, sf_dir)
+    weights = quality_classifier_weights(spark, sf_dir).select("term", "w_fp")
+    scored = (
+        tf.join(weights, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("w_fp"), F.lit(OOV_W))
+            ).alias("score_fp"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return scored.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "score_fp",
+        (
+            (F.col("score_fp").cast("double") / F.col("n_words").cast("double"))
+            / F.lit(1.0e9)
+        ).alias("quality_ml"),
+        (F.col("score_fp") * 2 > F.col("n_words") * F.lit(W_SCALE)).alias(
+            "predicted_keep"
+        ),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    # the heuristic-label SQL mirror lives next to the other curation
+    # oracles; import here to avoid a module cycle at import time
+    from .curation import _quality_sql_expr
+
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY doc_id, term
+), labeled AS (
+  SELECT doc_id,
+         CASE WHEN {_quality_sql_expr()} >= {POS_T} THEN 1
+              WHEN {_quality_sql_expr()} < {NEG_T} THEN 0 END AS label
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2) >= '{VAL_HEX_BOUND}'
+), train_labels AS (
+  SELECT doc_id, label FROM labeled WHERE label IS NOT NULL
+), per_term AS (
+  SELECT term,
+         CAST(SUM(tf * label) AS BIGINT) AS c_pos,
+         CAST(SUM(tf * (1 - label)) AS BIGINT) AS c_neg
+  FROM tf JOIN train_labels USING (doc_id) GROUP BY term
+), weights AS (
+  SELECT term,
+         CAST(FLOOR(1e9 * (CAST(c_pos + 1 AS DOUBLE)
+                           / CAST(c_pos + c_neg + 2 AS DOUBLE))) AS BIGINT) AS w_fp
+  FROM per_term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_words,
+         CAST(SUM(tf * COALESCE(w.w_fp, {OOV_W})) AS BIGINT) AS score_fp
+  FROM tf LEFT JOIN weights w USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_words, s.score_fp,
+       (CAST(s.score_fp AS DOUBLE) / CAST(s.n_words AS DOUBLE)) / 1e9 AS quality_ml,
+       s.score_fp * 2 > s.n_words * {W_SCALE} AS predicted_keep
+FROM scored s JOIN documents d USING (doc_id)
+"""
+
+
+EXT_QUERIES = {
+    "quality_classifier_scores": (
+        quality_classifier_scores,
+        _quality_classifier_sql(),
+    ),
+}

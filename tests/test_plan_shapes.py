@@ -131,3 +131,40 @@ def test_range_join_is_equi_on_bucket(spark, sf_dir):
     join_line = next(l for l in plan.splitlines() if "HashJoin" in l
                      or "SortMergeJoin" in l)
     assert "_probe" in join_line and "_bucket" in join_line
+
+
+def test_chunking_is_shuffle_free_map(spark, sf_dir):
+    """chunk_documents is a pure map+explode: any Exchange in its plan
+    means a regression introduced a shuffle into an embarrassingly
+    parallel operator."""
+    plan = _plan(spark, sf_dir, "chunk_documents")
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+
+
+def test_segment_dedup_keep_first_is_pure_hash_aggregate(spark, sf_dir):
+    """segment_dedup_docs must stay Sort-free: the keep-first aggregate
+    groups on the segment TEXT with fixed-width BIGINT buffers (packed
+    min key) — re-keying on md5 with a min_by(text, ...) buffer
+    regresses to Sort+SortAggregate on both sides of the exchange
+    (observed on 4.1.2), re-paying a per-partition sort at every scale.
+    Reassembly is ObjectHashAggregate (collect_list), also sort-free,
+    and the whole plan is exactly two exchanges."""
+    plan = _plan(spark, sf_dir, "segment_dedup_docs")
+    assert "SortAggregate" not in plan
+    assert "Sort [" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_quality_classifier_scores_plan(spark, sf_dir):
+    """The scoring join on `term` is left to AQE on purpose (the
+    weights table is vocabulary-bounded: usually broadcastable, but a
+    forced broadcast would OOM a pathological-vocab corpus), so the
+    pin is on the ADAPTIVE final plan: after execution the term join
+    must have converted to a broadcast hash join. The model itself is
+    JVM arithmetic — no Python eval anywhere."""
+    df = entrymod.queries()["quality_classifier_scores"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [term" in final, "AQE left the vocab join on SMJ"
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
