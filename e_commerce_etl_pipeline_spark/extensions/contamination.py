@@ -100,16 +100,26 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("g").distinct()
+        .withColumn("__hit", F.lit(1))
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
+    # ONE pass over the gram table (r8): left-broadcast-mark each gram,
+    # then count total and contaminated in the same hash aggregate. The
+    # previous totals⋈hits formulation scanned the gram artifact twice,
+    # shuffled twice, and paid a doc_id join to recombine — at corpus
+    # scale that is 2× gram-table I/O and an extra exchange for nothing.
+    # The DuckDB oracle deliberately keeps the two-aggregate join
+    # formulation, making it an independent cross-check of this plan.
+    marked = corpus.join(F.broadcast(bench), "g", "left")
     return (
-        hits.join(totals, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
         .select(
             "doc_id", "n_grams", "n_contaminated",
             (F.col("n_contaminated").cast("double")
