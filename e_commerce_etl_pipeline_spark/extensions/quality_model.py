@@ -112,6 +112,55 @@ def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batch_term_frequencies(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) computed inline from a (doc_id, text, ...)
+    DataFrame — the streaming-batch counterpart of the fingerprint-
+    cached ``tfidf.term_frequencies`` corpus artifact (a micro-batch is
+    ephemeral; caching it would only leak store generations)."""
+    from .text import words_col
+
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def score_tf(tf: DataFrame, weights: DataFrame, docs: DataFrame) -> DataFrame:
+    """The scoring kernel shared by the batch query and the streaming
+    scorer: join (doc_id, term, tf) rows against the trained (term,
+    w_fp) weights and aggregate per document. Output: (doc_id, lang,
+    n_words, n_oov, score_fp, quality_ml, predicted_keep); ``n_oov``
+    counts tokens outside the trained vocabulary (they score the exact
+    1/2 prior) — the model-drift signal the streaming path alarms on."""
+    scored = (
+        tf.join(weights.select("term", "w_fp"), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(
+                F.when(F.col("w_fp").isNull(), F.col("tf")).otherwise(F.lit(0))
+            ).alias("n_oov"),
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("w_fp"), F.lit(OOV_W))
+            ).alias("score_fp"),
+        )
+    )
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_oov",
+        "score_fp",
+        (
+            (F.col("score_fp").cast("double") / F.col("n_words").cast("double"))
+            / F.lit(1.0e9)
+        ).alias("quality_ml"),
+        (F.col("score_fp") * 2 > F.col("n_words") * F.lit(W_SCALE)).alias(
+            "predicted_keep"
+        ),
+    )
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document model verdict: (doc_id, lang, n_words, score_fp,
     quality_ml, predicted_keep).
@@ -123,30 +172,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the integer comparison 2·score_fp > n_words·W_SCALE. Documents
     with zero tokens have nothing to score and don't appear."""
     tf = term_frequencies(spark, sf_dir)
-    weights = quality_classifier_weights(spark, sf_dir).select("term", "w_fp")
-    scored = (
-        tf.join(weights, "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_words"),
-            F.sum(
-                F.col("tf") * F.coalesce(F.col("w_fp"), F.lit(OOV_W))
-            ).alias("score_fp"),
-        )
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return scored.join(docs, "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_words",
-        "score_fp",
-        (
-            (F.col("score_fp").cast("double") / F.col("n_words").cast("double"))
-            / F.lit(1.0e9)
-        ).alias("quality_ml"),
-        (F.col("score_fp") * 2 > F.col("n_words") * F.lit(W_SCALE)).alias(
-            "predicted_keep"
-        ),
+    weights = quality_classifier_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return score_tf(tf, weights, docs).select(
+        "doc_id", "lang", "n_words", "score_fp", "quality_ml",
+        "predicted_keep",
     )
 
 

@@ -4,3 +4,8 @@ from .incremental import (  # noqa: F401
     read_assignment,
     run_incremental_batch,
 )
+from .scoring import (  # noqa: F401
+    quality_score_stream,
+    read_stream_audit,
+    read_stream_scores,
+)
