@@ -160,7 +160,14 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no hash-collision caveat. Reassembly is one more
     hash-aggregate by doc_id with an in-aggregate
     array_sort(collect_list(struct(seg_idx, text)))."""
-    base = _nonempty_docs(spark, sf_dir)
+    segs = segment_rows(_nonempty_docs(spark, sf_dir))
+    return reassemble_docs(keep_first_segments(segs))
+
+
+def segment_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, n_seg, seg_idx, seg_text) — every consecutive
+    SEG_W-token segment of a (doc_id, w: array<string>) frame. Shared
+    by the batch operator and the streaming span-dedup path."""
     n_seg = F.expr(f"(size(w) + {SEG_W - 1}) div {SEG_W}")
     seg_texts = F.transform(
         F.sequence(F.lit(0).cast("long"), n_seg - 1),
@@ -168,22 +175,45 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("w"), (i * SEG_W + 1).cast("int"), SEG_W), " "
         ),
     )
-    segs = base.select(
+    return base.select(
         "doc_id",
         n_seg.alias("n_seg"),
         F.posexplode(seg_texts).alias("seg_idx", "seg_text"),
     )
+
+
+def tokenized_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, w) for non-empty documents of any (doc_id, text, ...)
+    frame — the streaming-batch counterpart of _nonempty_docs."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", _words(F.col("text")).alias("w"))
+        .filter(F.element_at(F.col("w"), 1) != "")
+    )
+
+
+def keep_first_segments(segs: DataFrame) -> DataFrame:
+    """Keep-first resolution: one row per DISTINCT segment text, at its
+    lowest (doc_id, seg_idx). Pure HashAggregate (see
+    segment_dedup_docs docstring). Output: (doc_id, seg_idx, seg_text,
+    n_seg)."""
     pack = F.col("doc_id") * F.lit(PACK) + F.col("seg_idx")
     kept = segs.groupBy("seg_text").agg(
         F.min(pack).alias("keeper"),
         F.min_by("n_seg", pack).alias("n_seg"),
     )
-    decoded = kept.select(
+    return kept.select(
         F.expr(f"keeper div {PACK}").alias("doc_id"),
         F.pmod(F.col("keeper"), F.lit(PACK)).alias("seg_idx"),
         "seg_text",
         "n_seg",
     )
+
+
+def reassemble_docs(decoded: DataFrame) -> DataFrame:
+    """Rebuild (doc_id, n_segments, kept_segments, removed_segments,
+    deduped_text) from surviving (doc_id, seg_idx, seg_text, n_seg)
+    rows — in-aggregate ordered reassembly, one hash aggregate."""
     return (
         decoded.groupBy("doc_id")
         .agg(

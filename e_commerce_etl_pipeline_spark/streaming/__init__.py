@@ -9,3 +9,8 @@ from .scoring import (  # noqa: F401
     read_stream_audit,
     read_stream_scores,
 )
+from .span_dedup import (  # noqa: F401
+    read_deduped_docs,
+    read_segment_store,
+    span_dedup_stream,
+)
