@@ -54,10 +54,11 @@ _PRIORITY = [
     "exact_dedup", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_docs", "dedup_clusters",
     # r8 batch 2: exact-span dedup-with-rewrite, token-window chunking,
-    # corpus-trained quality classifier
+    # corpus-trained quality classifier + its held-out-val gate
     "segment_dedup_docs", "chunk_documents", "quality_classifier_scores",
+    "quality_classifier_eval",
     # similarity search / embeddings
-    "lsh_bucketed_topk", "ivf_topk",
+    "ivf_topk",
     "embedding_label_centroids", "embedding_near_dup_pairs", "ann_recall_eval",
     # r7: the near-dup recall gate + the recall-preserving cluster path
     "near_dup_clusters", "near_dup_recall_eval",
@@ -79,7 +80,7 @@ _PRIORITY = [
     "order_priority_counts",
     "customer_order_stats", "user_running_totals",
     "salted_event_type_totals",
-    # NOTE (r4, updated r8): 58 shapes compete for the driver's observed
+    # NOTE (r4, updated r8): 59 shapes compete for the driver's observed
     # 50-entry window; positions 51+ fall outside it but stay verified
     # each run by tests/test_full_registry_oracle.py and
     # CHECK_ORACLE_FULL_r{N}.txt. Out-of-window by choice:
@@ -97,9 +98,13 @@ _PRIORITY = [
     # chunk_documents, quality_classifier_scores): lang_distribution
     # (same lang-ID kernel as in-window lang_id_docs, aggregated),
     # minhash_signatures (a strict sub-stage of in-window
-    # minhash_lsh_pairs), and brute_force_topk (embedded verbatim as the
-    # ground-truth side of in-window ann_recall_eval).
+    # minhash_lsh_pairs), brute_force_topk (embedded verbatim as the
+    # ground-truth side of in-window ann_recall_eval), and
+    # lsh_bucketed_topk (its sign-LSH bucket kernel is one of the two
+    # methods ann_recall_eval grades, and embedding_near_dup_pairs
+    # exercises the same buckets in-window).
     "lang_distribution", "minhash_signatures", "brute_force_topk",
+    "lsh_bucketed_topk",
     "cube_sales", "pivot_status_by_priority",
     "sessionize_events", "events_hourly_windows",
     "user_value_median_pandas",

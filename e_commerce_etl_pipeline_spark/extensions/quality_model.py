@@ -223,9 +223,92 @@ FROM scored s JOIN documents d USING (doc_id)
 """
 
 
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's own quality gate (the ann_recall_eval pattern:
+    every trained operator ships with an in-engine evaluation): score
+    the HELD-OUT val-split documents that carry a heuristic label (the
+    same POS_T/NEG_T band the training used — on docs the model never
+    saw) and report the one-row confusion summary. All counts are exact
+    integers; the two rates are single IEEE divisions — fully
+    oracle-checkable. Val docs in the unlabeled middle band are not
+    gradable and are excluded (n_unlabeled reports how many).
+
+    Scale shape: reuses the scored table (one join + per-doc aggregate,
+    see quality_classifier_scores) joined against the label map (pure
+    map over documents), then ONE global 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("qs"))
+        .filter(split_col(F.col("doc_id")) == "val")
+        .select(
+            "doc_id",
+            F.when(F.col("qs") >= POS_T, F.lit(1))
+            .when(F.col("qs") < NEG_T, F.lit(0))
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    scored = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id", F.col("predicted_keep").cast("long").alias("pred")
+    )
+    j = labels.join(scored, "doc_id")
+    lab = F.col("label")
+    return j.agg(
+        F.sum(F.when(lab.isNull(), 1).otherwise(0)).alias("n_unlabeled"),
+        F.sum(F.when(lab.isNotNull(), 1).otherwise(0)).alias("n_eval"),
+        F.sum(F.when((lab == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((lab == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((lab == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((lab == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fn"),
+    ).select(
+        "n_unlabeled", "n_eval", "tp", "fp", "tn", "fn",
+        ((F.col("tp") + F.col("tn")).cast("double")
+         / F.col("n_eval").cast("double")).alias("accuracy"),
+        (F.col("tp").cast("double")
+         / (F.col("tp") + F.col("fn")).cast("double")).alias("pos_recall"),
+    )
+
+
+def _quality_eval_sql() -> str:
+    from .curation import _quality_sql_expr
+
+    scores_sql = _quality_classifier_sql()
+    return f"""
+WITH scored AS ({scores_sql}),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN {_quality_sql_expr()} >= {POS_T} THEN 1
+              WHEN {_quality_sql_expr()} < {NEG_T} THEN 0 END AS label
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2) < '{VAL_HEX_BOUND}'
+), j AS (
+  SELECT l.label, CASE WHEN s.predicted_keep THEN 1 ELSE 0 END AS pred
+  FROM labels l JOIN scored s USING (doc_id)
+)
+SELECT
+  CAST(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled,
+  CAST(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+  CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       + SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS accuracy,
+  CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pos_recall
+FROM j
+"""
+
+
 EXT_QUERIES = {
     "quality_classifier_scores": (
         quality_classifier_scores,
         _quality_classifier_sql(),
+    ),
+    "quality_classifier_eval": (
+        quality_classifier_eval,
+        _quality_eval_sql(),
     ),
 }

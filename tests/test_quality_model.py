@@ -134,3 +134,34 @@ def test_driver_corpus_invariants(spark, sf_dir):
     )
     assert bands["pos"] is not None and bands["neg"] is not None
     assert bands["pos"] > bands["neg"]
+
+
+def test_eval_confusion_counts_on_controlled_corpus(spark, tmp_path):
+    """Exact confusion matrix on held-out val docs: one clearly-good,
+    one clearly-bad, one middle-band (unlabeled, excluded from rates)."""
+    from e_commerce_etl_pipeline_spark.extensions.quality_model import (
+        quality_classifier_eval,
+    )
+
+    v1, v2, v3 = _ids("val", 3)
+    # v1: POS label, model keeps (all high-weight stopwords) -> tp
+    # v2: NEG label, model rejects (neg-trained tokens) -> tn
+    # v3: middle band (qs between NEG_T and POS_T) -> unlabeled
+    sf, _ = _corpus(spark, tmp_path, [
+        (v1, POS_TEXT), (v2, NEG_TEXT), (v3, "the xxx"),
+    ])
+    (r,) = quality_classifier_eval(spark, sf).collect()
+    assert (r["n_eval"], r["n_unlabeled"]) == (2, 1)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (1, 0, 1, 0)
+    assert r["accuracy"] == 1.0 and r["pos_recall"] == 1.0
+
+
+def test_eval_driver_corpus_is_one_consistent_row(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.quality_model import (
+        quality_classifier_eval,
+    )
+
+    (r,) = quality_classifier_eval(spark, sf_dir).collect()
+    assert r["n_eval"] == r["tp"] + r["fp"] + r["tn"] + r["fn"]
+    assert r["n_eval"] > 0
+    assert abs(r["accuracy"] - (r["tp"] + r["tn"]) / r["n_eval"]) == 0.0
