@@ -168,3 +168,17 @@ def test_quality_classifier_scores_plan(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [term" in final, "AQE left the vocab join on SMJ"
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_contamination_is_one_pass(spark, sf_dir):
+    """benchmark_contamination must stay the fused single-aggregate
+    plan (late r8): one scan of the gram artifact, one left BROADCAST
+    join marking benchmark grams, one doc_id aggregate — regressing to
+    the totals⋈hits formulation doubles gram-table I/O and re-adds an
+    exchange + join (docs/PLANS.md: exchanges 3 → 2)."""
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # two SHUFFLE exchanges (bench-side distinct + doc agg); the third
+    # "Exchange" substring in the plan is the BroadcastExchange itself
+    assert plan.count("Exchange hashpartitioning") == 2
