@@ -21,6 +21,7 @@ from .semantic_dedup import EXT_QUERIES as SEMANTIC_DEDUP_QUERIES  # noqa: F401
 from .lm_score import EXT_QUERIES as LM_SCORE_QUERIES  # noqa: F401
 from .chunking import EXT_QUERIES as CHUNKING_QUERIES  # noqa: F401
 from .quality_model import EXT_QUERIES as QUALITY_MODEL_QUERIES  # noqa: F401
+from .tokenizer import EXT_QUERIES as TOKENIZER_QUERIES  # noqa: F401
 
 ALL_EXT_QUERIES = {
     **CONTAMINATION_QUERIES,
@@ -40,4 +41,5 @@ ALL_EXT_QUERIES = {
     **LM_SCORE_QUERIES,
     **CHUNKING_QUERIES,
     **QUALITY_MODEL_QUERIES,
+    **TOKENIZER_QUERIES,
 }
