@@ -182,3 +182,14 @@ def test_contamination_is_one_pass(spark, sf_dir):
     # two SHUFFLE exchanges (bench-side distinct + doc agg); the third
     # "Exchange" substring in the plan is the BroadcastExchange itself
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bpe_pair_stats_single_bounded_shuffle(spark, sf_dir):
+    """bpe_pair_stats: pair enumeration is per-word array math, so the
+    plan must be exactly one shuffle (the alphabet²-bounded pair count)
+    feeding a bounded TakeOrdered — no window, no join, no sort over
+    data."""
+    plan = _plan(spark, sf_dir, "bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window [" not in plan
