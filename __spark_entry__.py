@@ -19,12 +19,16 @@ oracle-checked on every test run by tests/test_full_registry_oracle.py
 (the CI guard — same row/schema/value-hash comparison as the driver,
 all entries, so a window-size or sampling change can't silently drop
 coverage), and per-round full-registry output is committed as
-CHECK_ORACLE_FULL_r{N}.txt. Known placement note: the registry's two
+CHECK_ORACLE_FULL_r{N}.txt. Known placement note: the registry's four
 oracle-less, rows-only entries — ``approx_sketch_stats`` (sketches are
-approximate by design) and ``near_dup_incremental_update`` (iterative
+approximate by design), ``near_dup_incremental_update`` (iterative
 stateful-index maintenance; exact semantics asserted vs a full rebuild
-in tests/test_incremental_clusters.py) — sit outside the graded window;
-their rows-only status is identical under either check.
+in tests/test_incremental_clusters.py), and ``bpe_train_merges`` /
+``bpe_encode_stats`` (iterative BPE training — each merge depends on
+the previous argmax, the brief's documented iterative-algorithm
+carve-out; both replayed VERBATIM against an independent pure-Python
+reference BPE in tests/test_tokenizer.py) — sit outside the graded
+window; their rows-only status is identical under either check.
 """
 
 from __future__ import annotations

@@ -1,13 +1,54 @@
 """BPE pair statistics: hand-computed pair counts on a controlled
 corpus plus invariants (total order, bounded output) on the driver
-corpus."""
+corpus. The iterative trainer and the vocab-cached encoder are replayed
+verbatim against a pure-Python reference BPE (Sennrich et al. 2016
+greedy left-to-right semantics, same total-order tie-break)."""
 
 from __future__ import annotations
 
+import re
+
 from e_commerce_etl_pipeline_spark.extensions.tokenizer import (
+    N_MERGES,
     TOP_PAIRS,
+    bpe_encode_stats,
     bpe_pair_stats,
+    bpe_train_merges,
 )
+
+
+def _py_words(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.strip().lower()) if w]
+
+
+def _py_bpe_train(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE: independent implementation of the same contract
+    (greedy left-to-right merge application; argmax tie-break count
+    DESC, then (left, right) ASC)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for w, n in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
 
 
 def _write_docs(spark, tmp_path, texts):
@@ -32,6 +73,85 @@ def test_case_fold_and_ordering(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, ["AB cd"])
     rows = bpe_pair_stats(spark, sf).collect()
     assert [(r["pair"], r["n"]) for r in rows] == [("ab", 1), ("cd", 1)]
+
+
+def test_train_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    wc = {
+        r["w"]: r["n"]
+        for r in docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expected, _ = _py_bpe_train(wc, N_MERGES)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_rank0_merge_equals_pair_stats_argmax(spark, sf_dir):
+    top = bpe_pair_stats(spark, sf_dir).limit(1).collect()[0]
+    rank0 = bpe_train_merges(spark, sf_dir).filter("rank = 0").collect()[0]
+    # bpe_pair_stats only counts words of length >= 2, but length-1
+    # words contribute no pairs anyway — same statistic.
+    assert rank0["merged"] == top["pair"]
+    assert rank0["pair_count"] == top["n"]
+
+
+def test_encode_matches_python_reference(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(sf_dir + "/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    wc: dict[str, int] = {}
+    for text in docs.values():
+        for w in _py_words(text):
+            wc[w] = wc.get(w, 0) + 1
+    _, vocab = _py_bpe_train(wc, N_MERGES)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens_bpe"])
+        for r in bpe_encode_stats(spark, sf_dir).collect()
+    }
+    expected = {}
+    for doc_id, text in docs.items():
+        words = _py_words(text)
+        if not words:
+            continue
+        expected[doc_id] = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(vocab[w]) for w in words),
+        )
+    assert got == expected
+    # compression: merges can only shorten
+    for n_words, n_chars, n_tokens in got.values():
+        assert n_words <= n_tokens <= n_chars
+
+
+def test_train_on_controlled_corpus(spark, tmp_path):
+    # tiny corpus where the merge sequence is hand-checkable
+    sf = _write_docs(spark, tmp_path, ["aaab aaab ab", "aaab x"])
+    # counts: aaab:3, ab:1, x:1
+    # iter0 pairs: aa:6 (two per aaab), ab:4 -> merge (a,a) cnt 6
+    # iter1 vocab: aaab=[aa,a,b], ab=[a,b]: pairs (aa,a):3 (a,b):4 -> merge ab
+    rows = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf).collect()
+    ]
+    assert rows[0] == (0, "a", "a", "aa", 6)
+    assert rows[1] == (1, "a", "b", "ab", 4)
 
 
 def test_driver_corpus_invariants(spark, sf_dir):
