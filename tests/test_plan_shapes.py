@@ -184,6 +184,22 @@ def test_contamination_is_one_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_bpe_encode_is_broadcast_join_hash_agg(spark, sf_dir):
+    """bpe_encode_stats: the vocab join is left to AQE (the trained
+    word→token-count state is vocabulary-bounded — broadcastable in
+    practice, but forcing it would OOM a pathological vocab), so the
+    pin is on the ADAPTIVE final plan: broadcast hash join on w, the
+    per-doc aggregate stays HashAggregate (fixed-width sum buffers),
+    and no Python evaluation anywhere — encoding is one join + one
+    aggregate, never a per-occurrence merge replay."""
+    df = entrymod.queries()["bpe_encode_stats"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [w" in final, "AQE left the vocab join on SMJ"
+    assert "SortAggregate" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
 def test_bpe_pair_stats_single_bounded_shuffle(spark, sf_dir):
     """bpe_pair_stats: pair enumeration is per-word array math, so the
     plan must be exactly one shuffle (the alphabet²-bounded pair count)
