@@ -427,8 +427,76 @@ FROM placed
 """
 
 
+# ---- leakage-safe train/val/test splitting --------------------------------
+
+# 256 md5-derived buckets: < 230 train (89.8%), < 243 val (5.1%), rest
+# test (5.1%). Two hex chars keep the bucket arithmetic cheap in both
+# engines (the dedup_fuzzy strpos idiom on the DuckDB side).
+SPLIT_TRAIN_LT = 230
+SPLIT_VAL_LT = 243
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak exact
+    duplicates across splits: every document is keyed by its exact-dup
+    CANONICAL (min doc_id of its md5(text) group) and the split bucket
+    is hashed from the canonical, so byte-identical documents always
+    co-travel. Splitting each doc independently — the naive
+    hash(doc_id) % N — puts ~10% of every duplicate family's copies
+    into eval splits, which is precisely the train/test contamination
+    decontamination pipelines exist to prevent (same failure class the
+    n-gram overlap gate measures, one layer earlier).
+
+    Scale shape: one hash aggregate over md5(text) (the exact-dedup
+    shuffle) + one equi-join back on the digest (AQE broadcasts the
+    group table when the distinct-text count allows); the split rule
+    itself is pure arithmetic on the canonical — no window, no sort,
+    nothing corpus-ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    groups = c.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        c.join(groups, "h")
+        .select(
+            "doc_id", "canonical_id",
+            F.when(bucket < SPLIT_TRAIN_LT, "train")
+            .when(bucket < SPLIT_VAL_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5(CAST(canonical_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+LEAKAGE_SAFE_SPLITS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), g AS (
+  SELECT h, MIN(doc_id) AS canonical_id FROM c GROUP BY h
+), j AS (
+  SELECT c.doc_id, g.canonical_id, {_SPLIT_BUCKET_SQL} AS b
+  FROM c JOIN g USING (h)
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN b < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM j
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
+    "leakage_safe_splits": (leakage_safe_splits, LEAKAGE_SAFE_SPLITS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),

@@ -8,9 +8,59 @@ from pyspark.sql import functions as F
 from e_commerce_etl_pipeline_spark.extensions.curation import (
     SAMPLE_QUOTA,
     TOKEN_BUDGET,
+    leakage_safe_splits,
     stratified_lang_sample,
     token_budget_sample,
 )
+
+
+def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
+    # doc 0/2/5 share text; 1/4 share text; 3 unique — whatever split
+    # each family lands in, it lands there WHOLE.
+    texts = ["alpha beta", "solo one", "alpha beta", "other text",
+             "solo one", "alpha beta"]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(d + "/documents.parquet")
+    rows = leakage_safe_splits(spark, d).collect()
+    assert len(rows) == len(texts)
+    by_doc = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in rows}
+    assert by_doc[0] == by_doc[2] == by_doc[5]
+    assert by_doc[1] == by_doc[4]
+    assert by_doc[0][0] == 0 and by_doc[1][0] == 1 and by_doc[3][0] == 3
+
+
+def test_leakage_safe_splits_fractions_and_determinism(spark, sf_dir):
+    rows = leakage_safe_splits(spark, sf_dir).collect()
+    n = len(rows)
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / n
+        for s in ("train", "val", "test")
+    }
+    # canonical-bucket split targets 89.8/5.1/5.1; doc-level fractions
+    # wobble with duplicate-family mass, so bound loosely
+    assert frac["train"] > 0.8
+    assert frac["val"] > 0 and frac["test"] > 0
+    again = {
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in leakage_safe_splits(spark, sf_dir).collect()
+    }
+    assert again == {(r["doc_id"], r["canonical_id"], r["split"]) for r in rows}
+    # exact duplicates co-travel on the driver corpus too
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    joined = (
+        leakage_safe_splits(spark, sf_dir)
+        .join(docs.select("doc_id", F.md5("text").alias("h")), "doc_id")
+    )
+    assert (
+        joined.groupBy("h")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
 
 
 def test_stratified_sample_quota_and_determinism(spark, sf_dir):

@@ -184,6 +184,16 @@ def test_contamination_is_one_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_leakage_safe_splits_no_window_no_sort(spark, sf_dir):
+    """leakage_safe_splits is one exact-dedup hash aggregate + one
+    digest equi-join; the split rule is row-local arithmetic. A Window
+    (min-over-group formulation) or a SortAggregate would re-introduce
+    corpus-ordered work the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "leakage_safe_splits")
+    assert "Window [" not in plan
+    assert "SortAggregate" not in plan
+
+
 def test_bpe_encode_is_broadcast_join_hash_agg(spark, sf_dir):
     """bpe_encode_stats: the vocab join is left to AQE (the trained
     word→token-count state is vocabulary-bounded — broadcastable in
