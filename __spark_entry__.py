@@ -111,8 +111,12 @@ _PRIORITY = [
     # exercises the same buckets in-window).
     # Displaced late-r8 for leakage_safe_splits: customer_order_stats
     # (its grouped-aggregate kernel also grades in-window via
-    # q1_pricing_summary and load_statistics).
-    "customer_order_stats",
+    # q1_pricing_summary and load_statistics). near_dup_safe_splits
+    # sits out-of-window BY CHOICE: it composes two kernels that both
+    # grade in-window (the near_dup_clusters artifact and the
+    # canonical-hash split of leakage_safe_splits) and the composition
+    # is oracle-checked every run by the full-registry CI test.
+    "customer_order_stats", "near_dup_safe_splits",
     "lang_distribution", "minhash_signatures", "brute_force_topk",
     "lsh_bucketed_topk",
     "cube_sales", "pivot_status_by_priority",

@@ -494,9 +494,67 @@ FROM j
 """
 
 
+def near_dup_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak NEAR-duplicates
+    across splits — the production-grade tier above
+    ``leakage_safe_splits``: paraphrased / perturbed copies (cosine >=
+    NEAR_DUP_COS on the document embedding) co-travel because the
+    split bucket is hashed from the near-dup CLUSTER canonical
+    (extensions.similarity.near_dup_clusters — the no-fence chain-link
+    path), falling back to the doc's own id for singletons.
+
+    Scale shape: the cluster assignment is a fingerprint-keyed stored
+    index artifact (built once per corpus snapshot), so this query is
+    one equi-join of documents against a two-node artifact scan plus
+    row-local split arithmetic. The DuckDB oracle recomputes the
+    clusters from scratch through the independent recursive-CTE
+    transitive closure — the strongest cross-check in the registry
+    applied to the split boundary."""
+    from .similarity import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir)
+    canonical = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    bucket = F.conv(
+        F.substring(F.md5(canonical.cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["vec_id"], "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            F.when(bucket < SPLIT_TRAIN_LT, "train")
+            .when(bucket < SPLIT_VAL_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def _near_dup_splits_sql() -> str:
+    from .similarity import _ND_CLUSTERS_SQL, _ND_CORPUS_SQL, _PARAMS_SQL
+
+    return f"""
+WITH RECURSIVE {_PARAMS_SQL}, {_ND_CORPUS_SQL}, {_ND_CLUSTERS_SQL},
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN nd_clusters c ON c.vec_id = d.doc_id
+), bucketed AS (
+  SELECT doc_id, canonical_id, {_SPLIT_BUCKET_SQL} AS b FROM assigned
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN b < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
     "leakage_safe_splits": (leakage_safe_splits, LEAKAGE_SAFE_SPLITS_SQL),
+    "near_dup_safe_splits": (near_dup_safe_splits, _near_dup_splits_sql()),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),

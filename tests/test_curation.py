@@ -9,9 +9,44 @@ from e_commerce_etl_pipeline_spark.extensions.curation import (
     SAMPLE_QUOTA,
     TOKEN_BUDGET,
     leakage_safe_splits,
+    near_dup_safe_splits,
     stratified_lang_sample,
     token_budget_sample,
 )
+
+
+def test_near_dup_safe_splits_clusters_co_travel(spark, sf_dir):
+    """Any two documents the near-dup CLUSTER path links must land in
+    the same split — the leakage property the operator exists for —
+    and singletons (absent from the cluster artifact) key on their own
+    id."""
+    from e_commerce_etl_pipeline_spark.extensions.similarity import (
+        TWIN_OFFSET,
+        near_dup_clusters,
+    )
+
+    splits = near_dup_safe_splits(spark, sf_dir)
+    clusters = (
+        near_dup_clusters(spark, sf_dir)
+        .filter(F.col("vec_id") < TWIN_OFFSET)
+        .select("vec_id", F.col("canonical_id").alias("cluster_root"))
+    )
+    assert (
+        splits.join(clusters, splits["doc_id"] == clusters["vec_id"])
+        .groupBy("cluster_root")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    rows = splits.collect()
+    docs = {r["doc_id"] for r in rows}
+    clustered = {r["vec_id"] for r in clusters.collect()}
+    for r in rows:
+        if r["doc_id"] not in clustered:
+            assert r["canonical_id"] == r["doc_id"]
+    assert docs == {r["doc_id"] for r in rows}  # one row per doc
+    assert sum(1 for r in rows if r["split"] == "train") / len(rows) > 0.7
 
 
 def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
