@@ -115,8 +115,11 @@ _PRIORITY = [
     # sits out-of-window BY CHOICE: it composes two kernels that both
     # grade in-window (the near_dup_clusters artifact and the
     # canonical-hash split of leakage_safe_splits) and the composition
-    # is oracle-checked every run by the full-registry CI test.
-    "customer_order_stats", "near_dup_safe_splits",
+    # is oracle-checked every run by the full-registry CI test; same
+    # reasoning for training_shards (row_number-window kernel grades
+    # via in-window user_running_totals; the shard/order hash idiom
+    # via leakage_safe_splits).
+    "customer_order_stats", "near_dup_safe_splits", "training_shards",
     "lang_distribution", "minhash_signatures", "brute_force_topk",
     "lsh_bucketed_topk",
     "cube_sales", "pivot_status_by_priority",

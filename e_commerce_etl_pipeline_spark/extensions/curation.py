@@ -551,10 +551,74 @@ FROM bucketed
 """
 
 
+# ---- training shard assignment ---------------------------------------------
+
+N_SHARDS = 8
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's last hop before the trainer: assign every document
+    a shard and a position inside it — a deterministic global shuffle.
+    Shard = md5 bucket of the doc id (uniform, content-independent);
+    intra-shard order = md5 of a DIFFERENT salt of the id (order must
+    not correlate with the shard key, or shard 0 would hold the
+    lexically-smallest order keys corpus-wide), ties broken by doc_id.
+    Re-running on the same corpus yields byte-identical shards — the
+    idempotent-replay property everything else in this engine holds.
+
+    Scale shape: one hash-partition exchange on shard + one per-shard
+    sort (the unavoidable pass — training order IS a per-shard total
+    order); no global sort, no single-partition window. Shard count is
+    the parallelism dial: production sizes N_SHARDS so a shard ≈ one
+    trainer worker's slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(did), 1, 4), 16, 10).cast("int") % N_SHARDS
+    )
+    order_key = F.md5(F.concat(F.lit("order:"), did))
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            shard.alias("shard"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos", "n_tokens")
+    )
+
+
+TRAINING_SHARDS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+           % {N_SHARDS} AS shard,
+         md5('order:' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY order_key, doc_id) AS INT) AS pos,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM base
+"""
+
+
 EXT_QUERIES = {
     "stratified_lang_sample": (stratified_lang_sample, STRATIFIED_SAMPLE_SQL),
     "leakage_safe_splits": (leakage_safe_splits, LEAKAGE_SAFE_SPLITS_SQL),
     "near_dup_safe_splits": (near_dup_safe_splits, _near_dup_splits_sql()),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),

@@ -49,6 +49,29 @@ def test_near_dup_safe_splits_clusters_co_travel(spark, sf_dir):
     assert sum(1 for r in rows if r["split"] == "train") / len(rows) > 0.7
 
 
+def test_training_shards_contiguous_balanced_deterministic(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.curation import (
+        N_SHARDS,
+        training_shards,
+    )
+
+    rows = training_shards(spark, sf_dir).collect()
+    n = len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    # positions are 1..len contiguous inside each shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # md5 bucketing balances shards (loose: nobody holds > 2x fair share)
+    assert max(len(p) for p in by_shard.values()) <= 2 * (n // N_SHARDS) + 1
+    # byte-identical on re-run
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             training_shards(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
 def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
     # doc 0/2/5 share text; 1/4 share text; 3 unique — whatever split
     # each family lands in, it lands there WHOLE.
