@@ -52,6 +52,10 @@ HEADLINE = [
     # curation
     "stratified_lang_sample", "token_budget_sample", "source_mixture_sample",
     "sequence_packing", "cluster_size_histogram",
+    # late r8: leakage-safe splitting tiers + shard assignment (the BPE
+    # pair stays in the registry tail: its cold time is the one-off
+    # artifact TRAIN, which would distort the comparable headline series)
+    "leakage_safe_splits", "near_dup_safe_splits", "training_shards",
     # end-to-end curation chain (reuses the cluster artifact above)
     "curated_corpus_summary",
     # range join + semi-structured read-back

@@ -442,10 +442,11 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANONICAL (min doc_id of its md5(text) group) and the split bucket
     is hashed from the canonical, so byte-identical documents always
     co-travel. Splitting each doc independently — the naive
-    hash(doc_id) % N — puts ~10% of every duplicate family's copies
-    into eval splits, which is precisely the train/test contamination
-    decontamination pipelines exist to prevent (same failure class the
-    n-gram overlap gate measures, one layer earlier).
+    hash(doc_id) % N that corpus_prep.train_val_split summarizes —
+    puts ~10% of every duplicate family's copies into eval splits,
+    which is precisely the train/test contamination decontamination
+    pipelines exist to prevent (same failure class the n-gram overlap
+    gate measures, one layer earlier).
 
     Scale shape: one hash aggregate over md5(text) (the exact-dedup
     shuffle) + one equi-join back on the digest (AQE broadcasts the
