@@ -118,8 +118,11 @@ _PRIORITY = [
     # is oracle-checked every run by the full-registry CI test; same
     # reasoning for training_shards (row_number-window kernel grades
     # via in-window user_running_totals; the shard/order hash idiom
-    # via leakage_safe_splits).
+    # via leakage_safe_splits) and temperature_mixture_weights (tiny
+    # grouped aggregate + broadcast total — the load_statistics /
+    # row_count_report kernel).
     "customer_order_stats", "near_dup_safe_splits", "training_shards",
+    "temperature_mixture_weights",
     "lang_distribution", "minhash_signatures", "brute_force_topk",
     "lsh_bucketed_topk",
     "cube_sales", "pivot_status_by_priority",

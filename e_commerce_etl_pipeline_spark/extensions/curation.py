@@ -552,6 +552,73 @@ FROM bucketed
 """
 
 
+# ---- temperature mixture weights -------------------------------------------
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights at temperature alpha = 0.5 — the
+    standard multilingual/multi-domain rebalancing recipe (sample
+    source i with probability proportional to its token share raised to
+    alpha < 1, flattening the head so low-resource sources survive).
+    Returns (source, n_docs, n_tokens, weight, oversample): ``weight``
+    is the alpha-tempered sampling probability; ``oversample`` is the
+    resulting epoch multiplier for the source (weight x corpus tokens /
+    own tokens — > 1 means the trainer repeats the source).
+
+    Cross-engine exactness is why alpha is 1/2 here: sqrt is IEEE
+    correctly-rounded (identical in every engine), pow(x, 0.3) is not.
+    The tempered masses are then pinned to fixed-point BIGINT micro-
+    units (the lm_score/quality_model idiom) so the normalizing sum is
+    INTEGER arithmetic — no float-accumulation-order dependence — and
+    every emitted double is a single exact-operand division/multiply.
+
+    Scale shape: one grouped aggregate (source cardinality is tiny) +
+    a broadcast one-row total; no window, no sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    s = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    tempered = counts.withColumn("s", s)
+    totals = tempered.agg(
+        F.sum("s").alias("total_s"), F.sum("n_tokens").alias("total_tokens")
+    )
+    weight = F.col("s").cast("double") / F.col("total_s").cast("double")
+    return (
+        tempered.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "n_tokens",
+            weight.alias("weight"),
+            (weight * F.col("total_tokens").cast("double")
+             / F.col("n_tokens").cast("double")).alias("oversample"),
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), tempered AS (
+  SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS s
+  FROM counts
+), totals AS (
+  SELECT SUM(s) AS total_s, SUM(n_tokens) AS total_tokens FROM tempered
+)
+SELECT source, n_docs, n_tokens,
+       CAST(s AS DOUBLE) / CAST(total_s AS DOUBLE) AS weight,
+       CAST(s AS DOUBLE) / CAST(total_s AS DOUBLE)
+         * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS oversample
+FROM tempered, totals
+"""
+
+
 # ---- training shard assignment ---------------------------------------------
 
 N_SHARDS = 8
@@ -620,6 +687,9 @@ EXT_QUERIES = {
     "leakage_safe_splits": (leakage_safe_splits, LEAKAGE_SAFE_SPLITS_SQL),
     "near_dup_safe_splits": (near_dup_safe_splits, _near_dup_splits_sql()),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    "temperature_mixture_weights": (
+        temperature_mixture_weights, TEMPERATURE_MIXTURE_SQL,
+    ),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),
     "source_mixture_sample": (source_mixture_sample, _mixture_sql()),

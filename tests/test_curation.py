@@ -72,6 +72,26 @@ def test_training_shards_contiguous_balanced_deterministic(spark, sf_dir):
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
 
 
+def test_temperature_mixture_flattens_the_head(spark, sf_dir):
+    from e_commerce_etl_pipeline_spark.extensions.curation import (
+        temperature_mixture_weights,
+    )
+
+    rows = temperature_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    # alpha=0.5 flattens: smaller sources get LARGER oversample factors,
+    # and ordering by tokens is exactly inverse to ordering by oversample
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    ov = [r["oversample"] for r in by_tokens]
+    assert all(a >= b - 1e-12 for a, b in zip(ov, ov[1:]))
+    # tempered weights sit between uniform and proportional
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        p = r["n_tokens"] / total
+        lo, hi = sorted((p, 1 / len(rows)))
+        assert lo - 1e-9 <= r["weight"] <= hi + 1e-9
+
+
 def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
     # doc 0/2/5 share text; 1/4 share text; 3 unique — whatever split
     # each family lands in, it lands there WHOLE.
