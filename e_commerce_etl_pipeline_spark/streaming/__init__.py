@@ -14,3 +14,8 @@ from .span_dedup import (  # noqa: F401
     read_segment_store,
     span_dedup_stream,
 )
+from .token_accounting import (  # noqa: F401
+    bpe_token_stream,
+    read_stream_token_counts,
+    read_token_stream_audit,
+)
