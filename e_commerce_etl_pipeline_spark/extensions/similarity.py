@@ -963,6 +963,10 @@ def _chain_edges_sql(t: int) -> str:
   WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}"""
 
 
+# NOTE: _PARAMS_SQL / _ND_CORPUS_SQL / _ND_CLUSTERS_SQL are consumed by
+# curation._near_dup_splits_sql to compose the near-dup-safe split
+# oracle — renaming a CTE here (params / corpus / nb / nd_clusters)
+# must keep that composition compiling (check_oracle near_dup_safe_splits).
 _ND_CLUSTERS_SQL = (
     ",\n".join(_chain_table_sql(t) for t in range(N_TABLES))
     + ", e0 AS (\n"

@@ -198,6 +198,12 @@ def _train_loop(
         vocab = vocab.withColumn(
             "syms", _apply_merge(F.col("syms"), left, right)
         ).localCheckpoint()
+        # The new checkpoint is materialized (eager), so iteration i-1's
+        # blocks are dead weight — release them. localCheckpoint trades
+        # executor-loss recomputability for speed; on a real cluster a
+        # long training run would use reliable checkpoint() to survive
+        # executor churn (the same local-rig trade the components
+        # propagation loop documents).
         prev.unpersist()
     merges_df = spark.createDataFrame(
         merges,
