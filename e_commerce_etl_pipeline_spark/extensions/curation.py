@@ -454,7 +454,12 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is pure arithmetic on the canonical — no window, no sort,
     nothing corpus-ordered."""
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    # coalesce: md5(NULL) is NULL and a NULL digest never equi-joins, so
+    # a null-text doc would silently vanish from the assignment (in both
+    # engines — parity would hide it). NULL text groups with "" instead.
+    c = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
     groups = c.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
     bucket = F.conv(
         F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2), 16, 10
@@ -480,7 +485,7 @@ _SPLIT_BUCKET_SQL = (
 
 LEAKAGE_SAFE_SPLITS_SQL = f"""
 WITH c AS (
-  SELECT doc_id, md5(text) AS h FROM documents
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
 ), g AS (
   SELECT h, MIN(doc_id) AS canonical_id FROM c GROUP BY h
 ), j AS (

@@ -96,18 +96,20 @@ def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
     # doc 0/2/5 share text; 1/4 share text; 3 unique — whatever split
     # each family lands in, it lands there WHOLE.
     texts = ["alpha beta", "solo one", "alpha beta", "other text",
-             "solo one", "alpha beta"]
+             "solo one", "alpha beta", None, ""]
     d = str(tmp_path / "corpus")
     spark.createDataFrame(
         [(i, t, "en") for i, t in enumerate(texts)],
         "doc_id long, text string, lang string",
     ).write.parquet(d + "/documents.parquet")
     rows = leakage_safe_splits(spark, d).collect()
-    assert len(rows) == len(texts)
+    assert len(rows) == len(texts)  # null text must not vanish
     by_doc = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in rows}
     assert by_doc[0] == by_doc[2] == by_doc[5]
     assert by_doc[1] == by_doc[4]
+    assert by_doc[6] == by_doc[7]  # NULL groups with ""
     assert by_doc[0][0] == 0 and by_doc[1][0] == 1 and by_doc[3][0] == 3
+    assert by_doc[6][0] == 6
 
 
 def test_leakage_safe_splits_fractions_and_determinism(spark, sf_dir):
