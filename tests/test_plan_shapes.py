@@ -41,6 +41,9 @@ NESTED_LOOP_OK = {
     # scalar-subquery shape: the broadcast side is the one-row (N, V)
     # LM statistics aggregate
     "lm_rarity_docs",
+    # scalar-subquery shape: the broadcast side is the one-row
+    # (total_s, total_tokens) normalizer aggregate
+    "temperature_mixture_weights",
 }
 
 
