@@ -154,6 +154,48 @@ def test_train_on_controlled_corpus(spark, tmp_path):
     assert rows[1] == (1, "a", "b", "ab", 4)
 
 
+def test_train_multi_partition_vocab_matches_reference(spark, tmp_path):
+    """The 50k-words-per-task sizing means every graded corpus trains
+    on a ONE-partition vocab; this corpus crosses the threshold
+    (60,001 distinct words) so the argmax aggregate and the fold merge
+    run multi-partition — the path a web-scale vocab takes — and the
+    merge table must still replay the Python reference verbatim."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_etl_pipeline_spark.extensions.tokenizer import (
+        _train_loop,
+        _word_counts,
+    )
+
+    # 60k distinct words, deterministic: w<md5 prefix> + a shared-pair
+    # backbone so merges are non-trivial
+    d = str(tmp_path / "wide")
+    words = spark.range(60_000).select(
+        F.concat(
+            F.lit("w"), F.substring(F.md5(F.col("id").cast("string")), 1, 6)
+        ).alias("w")
+    )
+    docs = words.groupBy().agg(
+        F.concat_ws(" ", F.collect_list("w")).alias("text")
+    ).select(F.lit(0).alias("doc_id").cast("long"), "text",
+             F.lit("en").alias("lang"))
+    docs.write.parquet(d + "/documents.parquet")
+
+    wc = {r["w"]: r["n"] for r in _word_counts(spark, d).collect()}
+    # md5-prefix birthday collisions shave a few dozen off 60k; what
+    # matters is crossing the 50k one-task threshold
+    assert len(wc) > 50_000
+    merges_df, vocab_df = _train_loop(spark, d, n_merges=6)
+    # the sized repartition must actually have split the vocab
+    assert vocab_df.rdd.getNumPartitions() > 1
+    expected, _ = _py_bpe_train(wc, 6)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
 def test_driver_corpus_invariants(spark, sf_dir):
     rows = bpe_pair_stats(spark, sf_dir).collect()
     assert 0 < len(rows) <= TOP_PAIRS
