@@ -118,11 +118,13 @@ _PRIORITY = [
     # is oracle-checked every run by the full-registry CI test; same
     # reasoning for training_shards (row_number-window kernel grades
     # via in-window user_running_totals; the shard/order hash idiom
-    # via leakage_safe_splits) and temperature_mixture_weights (tiny
+    # via leakage_safe_splits), temperature_mixture_weights (tiny
     # grouped aggregate + broadcast total — the load_statistics /
-    # row_count_report kernel).
+    # row_count_report kernel), and split_contamination_report (the
+    # gram semi-join kernel grades via in-window benchmark_contamination,
+    # the split CTE via leakage_safe_splits).
     "customer_order_stats", "near_dup_safe_splits", "training_shards",
-    "temperature_mixture_weights",
+    "temperature_mixture_weights", "split_contamination_report",
     "lang_distribution", "minhash_signatures", "brute_force_topk",
     "lsh_bucketed_topk",
     "cube_sales", "pivot_status_by_priority",

@@ -557,6 +557,91 @@ FROM bucketed
 """
 
 
+# ---- split-boundary contamination audit ------------------------------------
+
+
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the split boundary leakage_safe_splits just drew: for each
+    eval split (val/test), how many of its documents still share at
+    least one word 4-gram with ANY train-split document, and the doc
+    fraction. Exact-dup families co-travel by construction, so what
+    this measures is the RESIDUAL lexical overlap (partial copies,
+    boilerplate, near-dups below the exact tier) — the number a
+    decontamination pass would have to chase. The same gram artifact
+    benchmark_contamination shuffles is reused (fingerprint-keyed), so
+    the audit adds one split join and one semi-join, not a re-shingle.
+
+    Scale shape: grams ⋈ splits on doc_id (broadcastable split table?
+    no — splits are corpus-sized, this is the one real shuffle), then
+    eval grams LEFT SEMI train grams on the digest, then a two-row
+    aggregate. Same cost class as the contamination gate itself."""
+    from .contamination import _grams
+
+    splits = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
+    grams = _grams(spark, sf_dir).join(splits, "doc_id")
+    train_g = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+    )
+    eval_docs = splits.filter(F.col("split") != "train")
+    overlap_docs = (
+        grams.filter(F.col("split") != "train")
+        .join(train_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        eval_docs.join(overlap_docs, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap_docs"),
+        )
+        .select(
+            "split", "n_docs", "n_overlap_docs",
+            (F.col("n_overlap_docs").cast("double")
+             / F.col("n_docs").cast("double")).alias("overlap_frac"),
+        )
+    )
+
+
+def _split_contamination_sql() -> str:
+    from .contamination import _ngram_sql
+
+    return f"""
+WITH c AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+), gmin AS (
+  SELECT h, MIN(doc_id) AS canonical_id FROM c GROUP BY h
+), splits AS (
+  SELECT c.doc_id,
+         CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN b < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT c.doc_id, {_SPLIT_BUCKET_SQL} AS b
+        FROM c JOIN gmin USING (h)) c
+), grams AS (
+  SELECT d.doc_id, s.split, UNNEST(list_distinct({_ngram_sql()})) AS g
+  FROM documents d JOIN splits s USING (doc_id)
+), train_g AS (
+  SELECT DISTINCT g FROM grams WHERE split = 'train'
+), overlap AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split <> 'train' AND g IN (SELECT g FROM train_g)
+)
+SELECT s.split, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap_docs,
+       CAST(SUM(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS overlap_frac
+FROM splits s LEFT JOIN overlap o USING (doc_id)
+WHERE s.split <> 'train'
+GROUP BY s.split
+"""
+
+
 # ---- temperature mixture weights -------------------------------------------
 
 
@@ -694,6 +779,9 @@ EXT_QUERIES = {
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
     "temperature_mixture_weights": (
         temperature_mixture_weights, TEMPERATURE_MIXTURE_SQL,
+    ),
+    "split_contamination_report": (
+        split_contamination_report, _split_contamination_sql(),
     ),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "dedup_aware_sample": (dedup_aware_sample, _dedup_aware_sample_sql()),

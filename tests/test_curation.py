@@ -92,6 +92,49 @@ def test_temperature_mixture_flattens_the_head(spark, sf_dir):
         assert lo - 1e-9 <= r["weight"] <= hi + 1e-9
 
 
+def test_split_contamination_audits_the_boundary(spark, tmp_path):
+    """A corpus where one eval-side doc textually contains a train-side
+    4-gram and the others are disjoint: the report counts exactly the
+    overlapping doc. Doc texts are chosen so split assignment is known
+    (md5 buckets of the canonicals are fixed by doc_id)."""
+    from e_commerce_etl_pipeline_spark.extensions.curation import (
+        leakage_safe_splits,
+        split_contamination_report,
+    )
+
+    # distinct texts: canonical = own doc_id; find ids per split first
+    probe = [(i, f"probe {i}", "en") for i in range(64)]
+    d0 = str(tmp_path / "probe")
+    spark.createDataFrame(
+        probe, "doc_id long, text string, lang string"
+    ).write.parquet(d0 + "/documents.parquet")
+    by_split: dict[str, list[int]] = {}
+    for r in leakage_safe_splits(spark, d0).collect():
+        by_split.setdefault(r["split"], []).append(r["doc_id"])
+    assert by_split.get("train") and (by_split.get("val") or by_split.get("test"))
+    train_id = by_split["train"][0]
+    eval_split, eval_ids = next(
+        (s, ids) for s, ids in by_split.items() if s != "train" and ids
+    )
+    leak_id, clean_id = eval_ids[0], (eval_ids + by_split["train"][1:])[1]
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (train_id, f"{shared} one two three four", "en"),
+        (leak_id, f"zero {shared} nine eight seven", "en"),  # shares 4-gram
+        (clean_id, "totally different words here entirely now", "en"),
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(d + "/documents.parquet")
+    got = {r["split"]: r for r in split_contamination_report(spark, d).collect()}
+    assert got[eval_split]["n_overlap_docs"] == 1
+    assert 0 < got[eval_split]["overlap_frac"] <= 1
+    for r in got.values():  # never more overlaps than docs
+        assert 0 <= r["n_overlap_docs"] <= r["n_docs"]
+
+
 def test_leakage_safe_splits_duplicates_co_travel(spark, tmp_path):
     # doc 0/2/5 share text; 1/4 share text; 3 unique — whatever split
     # each family lands in, it lands there WHOLE.
