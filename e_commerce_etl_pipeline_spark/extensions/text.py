@@ -187,41 +187,16 @@ def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to edits outside a chunk — the content-defined-chunking primitive of
     large-corpus near-dup/incremental-dedup pipelines."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")  # array of single chars
-    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
-    docs = docs.select("doc_id", codes.alias("codes"))
-
-    # h(i) = (sum_j codes[i+j] * B^(W-1-j)) % M, for i in 1..n-W+1.
-    # One mod per WINDOW, not per term: each term <= max_codepoint
-    # (0x10FFFF) * (M-1) < 1.2e15, so the 8-term sum < 9.4e15 fits a
-    # 64-bit long with headroom — same value as the per-term-mod form
-    # (mod distributes over +), ~2x fewer ops in the per-char hot loop.
-    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
-
-    def win_hash(i: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for j, p in enumerate(powers):
-            acc = acc + F.element_at(F.col("codes"), i + j) * F.lit(p)
-        return acc % ROLL_MOD
-
-    n = F.size(F.col("codes"))
-    # guard: Spark sequence(1, 0) would generate a DESCENDING sequence
-    idx = F.when(
-        n >= ROLL_W, F.sequence(F.lit(1), n - (ROLL_W - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(idx, win_hash)
-    boundaries = F.filter(
-        F.transform(hashes, lambda h: h % (BOUNDARY_MASK + 1)),
-        lambda m: m == 0,
-    )
-    boundary_pos = F.filter(
-        F.transform(hashes, lambda h, i: F.when(h % (BOUNDARY_MASK + 1) == 0, i + 1)),
-        lambda x: x.isNotNull(),
-    )
-    return docs.select(
+    # h(i) = (sum_j code[i+j] * B^(W-1-j)) % M for every window start —
+    # computed by the Arrow CDC kernel (cdc_boundaries_arrow), which
+    # carries the same 64-bit no-overflow argument the expression form
+    # documented: each term <= max_codepoint (0x10FFFF) * (M-1) <
+    # 1.2e15, so the 8-term sum < 9.4e15 fits int64 with headroom.
+    based = cdc_boundaries_arrow(docs)
+    return based.select(
         "doc_id",
-        F.size(boundaries).cast("long").alias("n_boundaries"),
-        F.md5(F.concat_ws(",", F.transform(boundary_pos, lambda p: p.cast("string"))))
+        F.size(F.col("pos")).cast("long").alias("n_boundaries"),
+        F.md5(F.concat_ws(",", F.transform(F.col("pos"), lambda p: p.cast("string"))))
         .alias("chunk_fingerprint"),
     )
 
@@ -365,6 +340,55 @@ FROM documents d JOIN s ON d.lang = s.lang
 """
 
 
+def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
+    """Content-defined-chunking boundary positions as ONE Arrow pass —
+    the rolling-hash hot loop moved out of interpreted higher-order
+    functions (the chain_edges_arrow lesson applied to CDC: the 8-term
+    window hash over every char position was ~70% of
+    duplicate_chunk_spans' warm time at sf0.1).
+
+    Input (doc_id, text) -> output (doc_id, text, pos array<int>): the
+    1-based window-start positions where the ROLL_W-char polynomial
+    hash (base ROLL_BASE mod ROLL_MOD) satisfies h % (BOUNDARY_MASK+1)
+    == 0 — bit-identical to the expression form it replaces (verified
+    by tests/test_extensions.py::test_cdc_kernel_matches_expression):
+    the windowed dot products come from one int64 np.convolve per doc
+    (max term ≤ 0x10FFFF·(ROLL_MOD-1) < 1.2e15, 8-term sum < 9.4e15 —
+    same 64-bit headroom argument as the expression), and characters
+    are CODE POINTS (utf-32 decode ↔ the oracle's DuckDB ascii()
+    semantics). Per doc cost is C-speed; the pass is embarrassingly
+    parallel and Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    # v[j] = B^j mod M, so convolve(cp, v)[W-1+i] = sum_j cp[i+j]*B^(W-1-j)
+    v = np.array(
+        [pow(ROLL_BASE, j, ROLL_MOD) for j in range(ROLL_W)], dtype=np.int64
+    )
+    mask = BOUNDARY_MASK + 1
+
+    def inner(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                if cp.size >= ROLL_W:
+                    h = np.convolve(cp, v)[ROLL_W - 1:cp.size] % ROLL_MOD
+                    pos = (np.nonzero(h % mask == 0)[0] + 1).astype(np.int32)
+                else:
+                    pos = np.empty(0, dtype=np.int32)
+                out.append(pos)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": pdf["text"], "pos": out}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        inner, schema="doc_id long, text string, pos array<int>"
+    )
+
+
 MIN_CHUNK = 16  # chars — shorter content-defined chunks are noise
 
 
@@ -383,33 +407,13 @@ def duplicate_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     32), payload a hash + 3 ints. Never pairwise: a chunk shared by k
     docs costs k rows, not k² comparisons."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
-    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
-    base = docs.select("doc_id", "text", codes.alias("codes"))
-
-    # single mod per window — see rolling_fingerprint_docs for the
-    # 64-bit overflow headroom argument
-    powers = [pow(ROLL_BASE, ROLL_W - 1 - j, ROLL_MOD) for j in range(ROLL_W)]
-
-    def win_hash(i: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for j, p in enumerate(powers):
-            acc = acc + F.element_at(F.col("codes"), i + j) * F.lit(p)
-        return acc % ROLL_MOD
-
-    n = F.size(F.col("codes"))
-    idx = F.when(
-        n >= ROLL_W, F.sequence(F.lit(1), n - (ROLL_W - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(idx, win_hash)
-    positions = F.filter(
-        F.transform(hashes, lambda h, i: F.when(h % (BOUNDARY_MASK + 1) == 0, i + 1)),
-        lambda x: x.isNotNull(),
-    )
+    # boundary positions from the Arrow CDC kernel (late r8 — this
+    # interpreted-HOF hash loop was ~70% of the query's warm time)
+    based = cdc_boundaries_arrow(docs)
     bounds = F.concat(
-        F.array(F.lit(0)), positions.cast("array<int>"), F.array(F.length("text"))
+        F.array(F.lit(0)), F.col("pos"), F.array(F.length("text").cast("int"))
     )
-    with_bounds = base.select("doc_id", "text", bounds.alias("b"))
+    with_bounds = based.select("doc_id", "text", bounds.alias("b"))
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(F.col("b")) - 1),
         lambda i: F.substring(
