@@ -351,7 +351,7 @@ def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
     1-based window-start positions where the ROLL_W-char polynomial
     hash (base ROLL_BASE mod ROLL_MOD) satisfies h % (BOUNDARY_MASK+1)
     == 0 — bit-identical to the expression form it replaces (verified
-    by tests/test_extensions.py::test_cdc_kernel_matches_expression):
+    by tests/test_cdc_kernel.py::test_cdc_kernel_matches_expression):
     the windowed dot products come from one int64 np.convolve per doc
     (max term ≤ 0x10FFFF·(ROLL_MOD-1) < 1.2e15, 8-term sum < 9.4e15 —
     same 64-bit headroom argument as the expression), and characters
