@@ -507,26 +507,41 @@ def near_dup_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR_DUP_COS on the document embedding) co-travel because the
     split bucket is hashed from the near-dup CLUSTER canonical
     (extensions.similarity.near_dup_clusters — the no-fence chain-link
-    path), falling back to the doc's own id for singletons.
+    path). The EXACT-dup canonical (min doc_id per md5(text) group, the
+    leakage_safe_splits rule) is resolved FIRST and the cluster lookup
+    keys on it, so this tier is a strict superset of the exact tier:
+    byte-identical documents share their exact canonical and therefore
+    the same cluster lookup and the same split — even when their
+    embeddings are missing, below NEAR_DUP_COS, or missed by the
+    recall-imperfect chain-LSH. (Falling back to the doc's OWN id, the
+    pre-r9 form, let an exact-dup pair straddle train/eval whenever one
+    copy was absent from the cluster artifact.)
 
-    Scale shape: the cluster assignment is a fingerprint-keyed stored
-    index artifact (built once per corpus snapshot), so this query is
-    one equi-join of documents against a two-node artifact scan plus
-    row-local split arithmetic. The DuckDB oracle recomputes the
-    clusters from scratch through the independent recursive-CTE
-    transitive closure — the strongest cross-check in the registry
-    applied to the split boundary."""
+    Scale shape: one md5(text) hash aggregate + digest equi-join (the
+    exact-dedup shuffle, shared shape with leakage_safe_splits), then
+    one equi-join against the fingerprint-keyed stored cluster artifact
+    (built once per corpus snapshot) plus row-local split arithmetic.
+    The DuckDB oracle recomputes the clusters from scratch through the
+    independent recursive-CTE transitive closure — the strongest
+    cross-check in the registry applied to the split boundary."""
     from .similarity import near_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
     clusters = near_dup_clusters(spark, sf_dir)
-    canonical = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    # exact-dup canonical first (identical rule + NULL-grouping to
+    # leakage_safe_splits) — the guarantee floor this tier builds on
+    c = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    g = c.groupBy("h").agg(F.min("doc_id").alias("exact_id"))
+    exact = c.join(g, "h").select("doc_id", "exact_id")
+    canonical = F.coalesce(F.col("canonical_id"), F.col("exact_id"))
     bucket = F.conv(
         F.substring(F.md5(canonical.cast("string")), 1, 2), 16, 10
     ).cast("int")
     return (
-        docs.select("doc_id")
-        .join(clusters, docs["doc_id"] == clusters["vec_id"], "left")
+        exact
+        .join(clusters, exact["exact_id"] == clusters["vec_id"], "left")
         .select(
             "doc_id",
             canonical.alias("canonical_id"),
@@ -543,9 +558,14 @@ def _near_dup_splits_sql() -> str:
 
     return f"""
 WITH RECURSIVE {_PARAMS_SQL}, {_ND_CORPUS_SQL}, {_ND_CLUSTERS_SQL},
-assigned AS (
-  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
-  FROM documents d LEFT JOIN nd_clusters c ON c.vec_id = d.doc_id
+ec AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+), eg AS (
+  SELECT h, MIN(doc_id) AS exact_id FROM ec GROUP BY h
+), assigned AS (
+  SELECT ec.doc_id, COALESCE(c.canonical_id, eg.exact_id) AS canonical_id
+  FROM ec JOIN eg USING (h)
+  LEFT JOIN nd_clusters c ON c.vec_id = eg.exact_id
 ), bucketed AS (
   SELECT doc_id, canonical_id, {_SPLIT_BUCKET_SQL} AS b FROM assigned
 )

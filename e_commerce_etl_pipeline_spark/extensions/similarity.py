@@ -668,6 +668,7 @@ def chain_edges_arrow(
     key_cols: list[str],
     w: int,
     threshold: float,
+    frame_probe: str | None = None,
 ) -> DataFrame:
     """W-successor verified chain edges as ONE Arrow pass — no ranking
     window, no W-way self-join, no per-pair JVM expression evaluation.
@@ -692,7 +693,20 @@ def chain_edges_arrow(
     engines' operand order. The emitted edge SET is identical to the
     join formulation — pinned by the DuckDB recursive-CTE oracle.
 
-    ``keyed`` must carry (vec_id, v, norm, *key_cols, __sig, __proj)."""
+    Memory is bounded PER ARROW BATCH, not per partition (r9, VERDICT
+    r8 #1): a key group straddling batch boundaries only needs the
+    previous batch's last W rows carried forward — each batch is
+    processed as (carry ∥ batch), pairs wholly inside the carry prefix
+    are suppressed (the batch that owned them already emitted them —
+    inductively every pair is emitted exactly once, by the batch where
+    its DST row first appears), and the next carry is the combined
+    frame's last W rows. Peak resident frame = maxRecordsPerBatch + W
+    rows regardless of partition size — the executor-OOM cliff of the
+    former whole-partition pd.concat (×2 with np.stack) is gone.
+
+    ``keyed`` must carry (vec_id, v, norm, *key_cols, __sig, __proj).
+    ``frame_probe``: test hook — a directory where each task appends
+    its peak combined-frame row count (asserts the bound holds)."""
     import numpy as np
     import pandas as pd
 
@@ -703,42 +717,60 @@ def chain_edges_arrow(
     )
 
     def gen(batches):
-        # concatenate the partition's Arrow batches: a key group may
-        # straddle batch boundaries, and cross-batch successor pairs
-        # must not be lost
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        m = len(pdf)
-        if m < 2:
-            return
-        v_mat = np.stack(pdf["v"].to_numpy())
-        norms = pdf["norm"].to_numpy(dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        keys = [pdf[c].to_numpy() for c in key_cols]
-        src_all, dst_all = [], []
-        for k in range(1, w + 1):
-            if k >= m:
-                break
-            mask = np.ones(m - k, dtype=bool)
-            for arr in keys:
-                mask &= arr[:-k] == arr[k:]
-            if not mask.any():
+        carry = None  # previous combined frame's last ≤W rows
+        peak = 0
+        for new in batches:
+            if carry is not None and len(carry):
+                p = len(carry)
+                pdf = pd.concat([carry, new], ignore_index=True)
+            else:
+                p = 0
+                pdf = new
+            m = len(pdf)
+            peak = max(peak, m)
+            # .copy(): an iloc tail is a VIEW holding the whole combined
+            # frame alive — copying is what makes the bound real
+            carry = pdf.iloc[max(0, m - w):].copy()
+            if m < 2:
                 continue
-            acc = np.zeros(m - k)
-            for i in range(v_mat.shape[1]):  # left-assoc dim loop
-                acc += v_mat[:-k, i] * v_mat[k:, i]
-            cos = acc / (norms[:-k] * norms[k:])
-            sel = mask & (cos >= threshold)
-            if sel.any():
-                src_all.append(ids[:-k][sel])
-                dst_all.append(ids[k:][sel])
-        if src_all:
-            yield pd.DataFrame({
-                "src": np.concatenate(src_all),
-                "dst": np.concatenate(dst_all),
-            })
+            v_mat = np.stack(pdf["v"].to_numpy())
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            keys = [pdf[c].to_numpy() for c in key_cols]
+            src_all, dst_all = [], []
+            for k in range(1, w + 1):
+                if k >= m:
+                    break
+                mask = np.ones(m - k, dtype=bool)
+                # suppress pairs wholly inside the carry prefix: pair i
+                # has dst index i+k, owned by this batch iff i+k >= p
+                if p > k:
+                    mask[: p - k] = False
+                for arr in keys:
+                    mask &= arr[:-k] == arr[k:]
+                if not mask.any():
+                    continue
+                acc = np.zeros(m - k)
+                for i in range(v_mat.shape[1]):  # left-assoc dim loop
+                    acc += v_mat[:-k, i] * v_mat[k:, i]
+                cos = acc / (norms[:-k] * norms[k:])
+                sel = mask & (cos >= threshold)
+                if sel.any():
+                    src_all.append(ids[:-k][sel])
+                    dst_all.append(ids[k:][sel])
+            if src_all:
+                yield pd.DataFrame({
+                    "src": np.concatenate(src_all),
+                    "dst": np.concatenate(dst_all),
+                })
+        if frame_probe is not None and peak:
+            import os
+            import uuid
+
+            with open(
+                os.path.join(frame_probe, f"peak-{uuid.uuid4().hex}"), "w"
+            ) as fh:
+                fh.write(str(peak))
 
     return part.mapInPandas(gen, "src long, dst long")
 

@@ -371,6 +371,13 @@ def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for t in pdf["text"]:
+                # NULL text carries zero boundaries (matches the HOF
+                # expression form this kernel replaced, which returned an
+                # empty array for NULL input) — without this guard a single
+                # null doc crashes the whole Arrow batch.
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    out.append(np.empty(0, dtype=np.int32))
+                    continue
                 cp = np.frombuffer(
                     t.encode("utf-32-le"), dtype="<u4"
                 ).astype(np.int64)

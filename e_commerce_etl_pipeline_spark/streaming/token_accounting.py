@@ -122,14 +122,19 @@ def bpe_token_stream(
             F.sum("n_unseen_words").alias("unseen"),
             F.sum("n_words").alias("words"),
         ).collect()[0]
-        unseen_frac = stats["unseen"] / stats["words"]
+        # A non-empty batch can still yield ZERO words (whitespace-only or
+        # null texts pass isEmpty() but explode to no rows) — the sums come
+        # back NULL and the divide / int() below would kill the stream on
+        # one bad batch. Audit it as an explicit zero-token row instead.
+        words = stats["words"] or 0
+        unseen_frac = (stats["unseen"] or 0) / words if words else 0.0
         audit = spark.createDataFrame(
             [(
                 stats["n_docs"],
-                int(stats["tokens_bpe"]),
-                int(stats["tokens_char"]),
+                int(stats["tokens_bpe"] or 0),
+                int(stats["tokens_char"] or 0),
                 unseen_frac,
-                unseen_frac > fallback_alarm,
+                bool(words) and unseen_frac > fallback_alarm,
             )],
             "n_docs long, tokens_bpe long, tokens_char long, "
             "unseen_word_frac double, retrain_due boolean",

@@ -17,7 +17,9 @@ from e_commerce_etl_pipeline_spark.extensions.text import (
 )
 
 
-def _py_positions(text: str) -> list[int]:
+def _py_positions(text: str | None) -> list[int]:
+    if text is None:
+        return []
     cp = [ord(c) for c in text]
     n = len(cp)
     if n < ROLL_W:
@@ -39,6 +41,7 @@ def test_kernel_matches_python_reference(spark):
         "exactly8",                      # == ROLL_W chars
         "naïve café — déjà vu ünïcödé " * 10,   # non-ASCII code points
         "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",   # uniform content
+        None,  # NULL text must yield zero boundaries, not crash the batch
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

@@ -86,6 +86,43 @@ def test_kernel_matches_join_formulation(spark, batch_size):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_kernel_memory_bounded_per_batch(spark, tmp_path):
+    """The r9 carry-over kernel must NOT materialize the partition: the
+    peak combined frame each task holds is maxRecordsPerBatch + W rows
+    (the probe records it), edges are still the exact join-formulation
+    set, and nothing is emitted twice (pairs inside the carried prefix
+    are suppressed, so the multiset has no duplicates)."""
+    probe = tmp_path / "peaks"
+    probe.mkdir()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    batch_size = 7
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    try:
+        # ONE group of 60 rows -> one partition crossed by ~9 batches;
+        # whole-partition concat would record peak 60
+        df = _corpus(spark, n_groups=1, per_group=60).coalesce(1)
+        got = [
+            (r["src"], r["dst"])
+            for r in chain_edges_arrow(
+                df, ["grp"], W, THRESHOLD, frame_probe=str(probe)
+            ).collect()
+        ]
+        want = set(
+            (r["src"], r["dst"]) for r in _reference_edges(df).collect()
+        )
+        assert set(got) == want and len(want) > 0
+        assert len(got) == len(set(got)), "carry prefix pairs re-emitted"
+        peaks = [int(p.read_text()) for p in probe.iterdir()]
+        assert peaks, "probe recorded nothing"
+        assert max(peaks) <= batch_size + W, (
+            f"partition materialized: peak frame {max(peaks)} rows "
+            f"> batch {batch_size} + W {W}"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_kernel_never_links_across_groups(spark):
     df = _corpus(spark, n_groups=4, per_group=3)
     edges = chain_edges_arrow(df, ["grp"], W, THRESHOLD).collect()

@@ -49,6 +49,43 @@ def test_near_dup_safe_splits_clusters_co_travel(spark, sf_dir):
     assert sum(1 for r in rows if r["split"] == "train") / len(rows) > 0.7
 
 
+def test_near_dup_safe_splits_exact_dups_co_travel_without_embeddings(
+    spark, tmp_path
+):
+    """The near-dup tier must be a strict SUPERSET of the exact tier
+    (ADVICE r8): byte-identical documents co-travel even when one copy
+    has NO embedding row (so the cluster artifact can't see it) — the
+    split keys on the exact-dup canonical first, then the cluster
+    canonical of THAT canonical."""
+    from e_commerce_etl_pipeline_spark.extensions.similarity import DIM
+
+    d = str(tmp_path / "corpus")
+    same = "the very same document text, repeated byte for byte"
+    spark.createDataFrame(
+        [
+            (0, same, "en"),
+            (1, "unrelated text one", "en"),
+            (2, "unrelated text two", "en"),
+            (3, same, "en"),          # byte-identical to doc 0
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(d + "/documents.parquet")
+    # embeddings for docs 0..2 ONLY — doc 3 is invisible to the
+    # near-dup cluster chain (the advisor's exact failure scenario)
+    spark.createDataFrame(
+        [
+            (i, [1.0 if j == i else 0.0 for j in range(DIM)])
+            for i in range(3)
+        ],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(d + "/embeddings.parquet")
+
+    rows = {r["doc_id"]: r for r in near_dup_safe_splits(spark, d).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["canonical_id"] == rows[3]["canonical_id"]
+    assert rows[0]["split"] == rows[3]["split"]
+
+
 def test_training_shards_contiguous_balanced_deterministic(spark, sf_dir):
     from e_commerce_etl_pipeline_spark.extensions.curation import (
         N_SHARDS,

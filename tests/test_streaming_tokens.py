@@ -110,6 +110,30 @@ def test_stream_matches_batch_kernel_fallback_and_drift(spark, tmp_path):
     assert stream_counts == batch
 
 
+def test_zero_word_batch_audited_not_fatal(spark, tmp_path):
+    """A non-empty batch whose documents explode to ZERO words
+    (whitespace-only / null texts) must write an explicit zero-token
+    audit row instead of killing the stream on a NULL aggregate
+    (ADVICE r8) — and the stream must keep processing later batches."""
+    corpus_dir = _write_corpus(spark, tmp_path)
+    source_dir = _stage_batches(spark, tmp_path, [
+        [(300, "   ", "en"), (301, None, "en")],   # zero words
+        [(400, "abab ab", "en")],                  # normal batch after it
+    ])
+    work_dir = str(tmp_path / "work")
+    _run(spark, source_dir, corpus_dir, work_dir, str(tmp_path / "ckpt"))
+
+    audit = {
+        r["batch"]: r
+        for r in read_token_stream_audit(spark, work_dir).collect()
+    }
+    assert sorted(audit) == [0, 1], "stream died on the zero-word batch"
+    z = audit[0]
+    assert z["tokens_bpe"] == 0 and z["tokens_char"] == 0
+    assert z["unseen_word_frac"] == 0.0 and not z["retrain_due"]
+    assert audit[1]["tokens_bpe"] == 2 and not audit[1]["retrain_due"]
+
+
 def test_replay_converges(spark, tmp_path):
     corpus_dir = _write_corpus(spark, tmp_path)
     source_dir = _stage_batches(spark, tmp_path, [
