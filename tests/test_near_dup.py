@@ -134,8 +134,9 @@ def test_observed_drops_nonblocking_before_action(spark, sf_dir):
 
 def test_near_dup_pipeline_records_fence_drops_in_audit(spark, sf_dir, tmp_path):
     """The no-silent-caps evidence must reach the production run audit
-    (VERDICT r6 #7 / r7 #4): near_dup_pipeline's audit row carries the
-    in-plan observed drop count in fence_dropped_rows."""
+    (VERDICT r6 #7 / r7 #4): the fenced DIAGNOSTIC run's audit row
+    carries the in-plan observed drop count in fence_dropped_rows,
+    plus its method and measured recall."""
     from e_commerce_etl_pipeline_spark.pipelines.etl import (
         RunAudit,
         near_dup_pipeline,
@@ -143,12 +144,57 @@ def test_near_dup_pipeline_records_fence_drops_in_audit(spark, sf_dir, tmp_path)
 
     audit = RunAudit(spark, str(tmp_path / "audit"))
     out = near_dup_pipeline(
-        spark, sf_dir, str(tmp_path / "pairs"), audit=audit
+        spark, sf_dir, str(tmp_path / "pairs"), audit=audit,
+        method="fenced_pairs",
     )
     standalone = lsh_fence_dropped(spark, sf_dir)
     assert out["fence_dropped_rows"] == standalone
-    row = audit.runs().filter(F.col("source_name") == "near_dup_pairs").collect()
+    row = audit.runs().filter(
+        F.col("source_name") == "near_dup_fenced_pairs"
+    ).collect()
     assert len(row) == 1
     assert row[0]["status"] == "SUCCESS"
     assert row[0]["fence_dropped_rows"] == standalone
-    assert row[0]["records_loaded"] == out["pairs"]
+    assert row[0]["records_loaded"] == out["rows"]
+    assert row[0]["method"] == "fenced_pairs"
+    assert row[0]["recall"] is not None and 0.0 <= row[0]["recall"] <= 1.0
+
+
+def test_near_dup_pipeline_defaults_to_cluster_path(spark, sf_dir, tmp_path):
+    """The PRODUCTION default is the no-fence cluster path (VERDICT r8
+    #5 — the fenced path's recall collapses to 0.163 on clone-heavy
+    corpora): the sunk artifact is the cluster assignment, the audit
+    row records method='clusters' and the hybrid recall-gate figure,
+    and fence_dropped_rows is NULL (nothing was fenced)."""
+    from e_commerce_etl_pipeline_spark.extensions.similarity import (
+        near_dup_clusters,
+        near_dup_recall_eval,
+    )
+    from e_commerce_etl_pipeline_spark.pipelines.etl import (
+        RunAudit,
+        near_dup_pipeline,
+    )
+
+    audit = RunAudit(spark, str(tmp_path / "audit"))
+    out_path = str(tmp_path / "clusters")
+    out = near_dup_pipeline(spark, sf_dir, out_path, audit=audit)
+    sunk = {
+        (r["vec_id"], r["canonical_id"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r["vec_id"], r["canonical_id"])
+        for r in near_dup_clusters(spark, sf_dir).collect()
+    }
+    assert sunk == want and out["rows"] == len(want)
+    gate = near_dup_recall_eval(
+        spark, sf_dir, methods=("hybrid_clusters",)
+    ).collect()
+    assert len(gate) == 1 and gate[0]["method"] == "hybrid_clusters"
+    row = audit.runs().filter(
+        F.col("source_name") == "near_dup_clusters"
+    ).collect()[0]
+    assert row["method"] == "clusters"
+    assert row["fence_dropped_rows"] is None
+    assert row["recall"] == pytest.approx(gate[0]["recall"])
+    assert out["recall"] == pytest.approx(gate[0]["recall"])
