@@ -27,18 +27,36 @@ grows the stored assignment instead:
      The grown assignment is then a broadcast relabel of the narrow
      prior (vec_id, canonical_id) scan plus the batch's new rows — no
      corpus-sized iteration anywhere.
+  4. (r9, matching the two-pass full build) The batch's effect on the
+     PASS-2 rep set is diffed from the contracted components result
+     (added reps = new canonicals, removed reps = absorbed canonicals/
+     singletons), the (table, bucket)s holding churned reps are
+     re-enumerated over the current rep set in full, and those verified
+     edges join the final growth. Unaffected buckets kept their exact
+     rep membership and order, so their pass-2 edges are unchanged from
+     the prior build — already implied by the prior assignment.
 
-Correctness shape (provable, and asserted by tests/test_incremental_
-clusters.py against a from-scratch rebuild):
+Correctness shape (asserted by tests/test_incremental_clusters.py
+against a from-scratch rebuild):
 
-- For two EXISTING vectors, inserting members into a bucket can only
-  push their chain ranks further apart — so any old-old edge a full
-  rebuild of the grown corpus would emit already existed in the base
-  build, and edges involving a new vector are re-derived here in the
-  identical full-bucket order. Every co-clustered pair of the full
-  rebuild is therefore co-clustered incrementally (superset).
-- The converse is not exact: the base assignment may carry an edge the
-  grown bucket order would no longer enumerate, so incremental
+- PASS-1 direction is provable: for two EXISTING vectors, inserting
+  members into a bucket can only push their chain ranks further apart —
+  so any old-old pass-1 edge a full rebuild of the grown corpus would
+  emit already existed in the base build, and edges involving a new
+  vector are re-derived here in the identical full-bucket order.
+- PASS-2 direction is provable except for one corner: the rebuild's
+  rep set comes from its own pass-1 components, while the incremental
+  rep set reflects STALE verified edges the grown enumeration would no
+  longer emit (merge-monotonicity keeps them). A rep that exists for
+  the rebuild but not incrementally arises only when such a stale edge
+  bridged two rebuild families — i.e. only where the incremental
+  RETAINED a true cosine-verified pair that the rebuild's bounded-W
+  enumeration lost; in that corner the two sides each hold a true pair
+  the other might miss. Outside it, every rebuild pass-2 edge lands in
+  an unchanged bucket (implied by the prior) or a churn-affected one
+  (re-enumerated here).
+- The converse direction is not exact: the base assignment may carry an
+  edge the grown bucket order would no longer enumerate, so incremental
   clustering is merge-monotone (old clusters merge, never split).
   Every edge that ever entered the graph was cosine-verified, so the
   over-merge is bounded to genuine near-duplicate chains — the same
@@ -102,26 +120,15 @@ def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
     )
 
 
-def _new_member_edges(
-    base_corpus: DataFrame, batch_corpus: DataFrame, bits: int
-) -> DataFrame:
-    """Cosine-verified chain edges involving >=1 batch vector, derived
-    over ONLY the (table, bucket) pairs the batch touches, in the same
-    full-bucket chain order a rebuild would use. One window + one
-    rank-join across all tables (keyed by (t, bucket)) instead of a
-    per-table stage chain."""
-    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits))
-    # affected buckets: a batch is small relative to the corpus, so the
-    # (table, bucket) list broadcasts and the base-side filter is a
-    # broadcast semi-join (no shuffle of the base corpus). Chain keys
-    # attach after the filter — only affected rows pay for them.
-    touched = nt.select("t", "bucket").distinct()
-    bt = S.with_chain_keys(
-        _tabled_all(base_corpus, False, bits).join(
-            F.broadcast(touched), ["t", "bucket"], "left_semi"
-        )
-    )
-    members = bt.unionByName(nt)
+def _windowed_chain_edges(members: DataFrame, require_new: bool) -> DataFrame:
+    """Cosine-verified W-successor chain edges over ``members`` rows
+    (t, bucket, vec_id, v, norm, __new) — full-bucket chain order, the
+    same (sig, proj, vec_id) window a rebuild uses. With
+    ``require_new``, only edges touching a __new row are kept (the
+    pass-1 increment: old-old adjacency can't appear under pure
+    insertion); without it every enumerated edge is kept (the pass-2
+    increment: rep REMOVAL compresses ranks, so old-old adjacencies are
+    real — extras contract to self-loops downstream, harmless)."""
     w = Window.partitionBy("t", "bucket").orderBy("__sig", "__proj", "vec_id")
     # checkpoint the ranked members (tiny: affected buckets only) so the
     # W-successor rank-join below joins two LEAVES — without this the
@@ -146,15 +153,35 @@ def _new_member_edges(
         F.col("norm").alias("bn"), F.col("__new").alias("nb"),
         F.col("__rn").alias("rb"),
     )
-    return (
-        left.join(right, ["t", "bucket", "rb"])
-        .filter(F.col("na") | F.col("nb"))
-        .filter(
-            S.dot(F.col("av"), F.col("bv"))
-            / (F.col("an") * F.col("bn")) >= S.NEAR_DUP_COS
+    out = left.join(right, ["t", "bucket", "rb"])
+    if require_new:
+        out = out.filter(F.col("na") | F.col("nb"))
+    return out.filter(
+        S.dot(F.col("av"), F.col("bv"))
+        / (F.col("an") * F.col("bn")) >= S.NEAR_DUP_COS
+    ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+
+
+def _new_member_edges(
+    base_corpus: DataFrame, batch_corpus: DataFrame, bits: int
+) -> DataFrame:
+    """Pass-1 increment: cosine-verified chain edges involving >=1
+    batch vector, derived over ONLY the (table, bucket) pairs the batch
+    touches, in the same full-bucket chain order a rebuild would use.
+    One window + one rank-join across all tables (keyed by (t, bucket))
+    instead of a per-table stage chain."""
+    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits))
+    # affected buckets: a batch is small relative to the corpus, so the
+    # (table, bucket) list broadcasts and the base-side filter is a
+    # broadcast semi-join (no shuffle of the base corpus). Chain keys
+    # attach after the filter — only affected rows pay for them.
+    touched = nt.select("t", "bucket").distinct()
+    bt = S.with_chain_keys(
+        _tabled_all(base_corpus, False, bits).join(
+            F.broadcast(touched), ["t", "bucket"], "left_semi"
         )
-        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
     )
+    return _windowed_chain_edges(bt.unionByName(nt), require_new=True)
 
 
 def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
@@ -188,17 +215,135 @@ def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
 DRIVER_CC_MAX_EDGES = 200_000
 
 
+def _grow_assignment(
+    spark: SparkSession,
+    prior: DataFrame,
+    edges: DataFrame,
+    batch_corpus: DataFrame,
+    driver_cc_max_edges: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Grow ``prior`` (vec_id, canonical_id) with cosine-verified
+    ``edges`` (src, dst — endpoints may be batch members, prior
+    members, or prior-absent singletons) plus self-edges registering
+    every batch-corpus member. Old endpoints CONTRACT to their prior
+    canonical id (prior canonical = min vec_id of its cluster, so
+    min-label over the contracted graph equals min-label over the full
+    graph — exact, not an approximation); the components pass therefore
+    runs on a graph sized by the BATCH, never the corpus; the only
+    corpus-sized work is one broadcast relabel scan of the narrow
+    prior. Returns (grown assignment, cc) — ``cc`` is the contracted
+    components result, exposed so the caller can diff rep churn without
+    recomputing it. The grown assignment covers prior nodes, the whole
+    batch corpus, AND any prior-absent old vector that gained an edge
+    (an old pass-1 singleton absorbed by the batch — dropping it would
+    leave an accepted vector unassigned)."""
+    edges = edges.localCheckpoint()
+    batch_ids = batch_corpus.select("vec_id")
+    old_nodes = (
+        edges.select(F.col("src").alias("vec_id"))
+        .unionByName(edges.select(F.col("dst").alias("vec_id")))
+        .join(batch_ids, "vec_id", "left_anti")
+        .distinct()
+    )
+    # tiny -> broadcast; the narrow prior streams map-side (no shuffle);
+    # checkpointed: it feeds both contractions and the remap
+    old_cid = prior.join(F.broadcast(old_nodes), "vec_id").select(
+        "vec_id", F.col("canonical_id").alias("__cid")
+    ).localCheckpoint()
+
+    def _contract(e: DataFrame, end: str) -> DataFrame:
+        m = old_cid.select(
+            F.col("vec_id").alias(end), F.col("__cid").alias(f"__c_{end}")
+        )
+        return e.join(F.broadcast(m), end, "left").withColumn(
+            end, F.coalesce(F.col(f"__c_{end}"), F.col(end))
+        ).drop(f"__c_{end}")
+
+    contracted = _contract(_contract(edges, "src"), "dst")
+    # isolated new vectors (no edge at all) must still appear in the
+    # assignment: self-edges register them as singleton components.
+    # Deliberate asymmetry vs the full build (which, like
+    # dedup_clusters, omits edge-less singletons): an ingest pipeline
+    # needs every ACCEPTED vector assigned — callers diffing against a
+    # rebuild should expect the incremental assignment ⊇ rebuild on
+    # exactly these singleton rows.
+    selves = batch_corpus.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    graph = contracted.unionByName(selves)
+    # Size-adaptive components (same discipline as operators.skew's
+    # decision): the contracted graph is batch-sized by construction
+    # (<= N_TABLES*W*|batch corpus| edges + |batch corpus| selves), so
+    # for ordinary ingest batches a driver union-find replaces ~6
+    # scheduler rounds of iterative min-label CC with ONE bounded
+    # collect — the same bounded-metadata class as the repo's top-k
+    # collects. Above the threshold (huge backfill batches) it stays
+    # distributed. edges is checkpointed, so the count is free.
+    if edges.count() <= driver_cc_max_edges:
+        cc = _driver_union_find(spark, graph)
+    else:
+        cc = connected_components(
+            graph, max_iter=64
+        )  # (node, component) over the contracted graph only
+    cc = cc.localCheckpoint()
+
+    # touched prior canonicals -> their merged component (tiny)
+    remap = cc.join(
+        old_cid.select(F.col("__cid").alias("node")).distinct(), "node"
+    ).select(F.col("node").alias("__old"), F.col("component").alias("__new"))
+    relabeled = prior.join(
+        F.broadcast(remap), prior.canonical_id == F.col("__old"), "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
+            "canonical_id"
+        ),
+    )
+    # everything cc assigned that prior didn't know: batch members plus
+    # prior-absent old singletons that gained an edge
+    non_prior = (
+        cc.select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("canonical_id"),
+        )
+        .join(prior.select("vec_id"), "vec_id", "left_anti")
+    )
+    return relabeled.unionByName(non_prior), cc
+
+
 def incremental_near_dup_update(
     spark: SparkSession, sf_dir: str, new_vecs: DataFrame,
     check_ids: bool = True,
     driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
     prior: DataFrame | None = None,
+    prior_p1: DataFrame | None = None,
     bits: int | None = None,
-) -> DataFrame:
+    return_p1: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Grow the stored near-dup cluster assignment with an ingest batch
     WITHOUT rebuilding it. Returns the updated (vec_id, canonical_id)
     covering old and new vectors (see module docstring for semantics and
-    the superset guarantee vs a full rebuild).
+    the superset guarantee vs a full rebuild); with ``return_p1`` also
+    returns the grown PASS-1 assignment (chained updates must thread it
+    forward — it is what the next batch diffs rep churn against).
+
+    Two stages, mirroring the r9 two-pass full build (similarity.
+    near_dup_clusters):
+
+    1. PASS-1 increment: new-member chain edges over batch-touched
+       buckets grow the stored pass-1 assignment (exact contracted
+       components — see _grow_assignment).
+    2. PASS-2 increment: the batch changes the REP SET (one canonical
+       per pass-1 family + singletons) — new reps appear (batch
+       canonicals/singletons), old reps disappear (canonicals absorbed
+       by a merge). Removal COMPRESSES chain ranks, so unlike pass 1
+       the increment cannot assume old-old adjacencies are stale: every
+       (table, bucket) holding a churned rep is re-enumerated over the
+       CURRENT rep set in full, and all verified edges feed the final
+       growth (already-co-clustered pairs contract to self-loops).
+       Buckets with NO rep churn kept their exact rep membership and
+       order, so their pass-2 enumeration is unchanged from the prior
+       build — already implied by the prior assignment.
 
     ``new_vecs``: (vec_id, embedding) of vectors NOT in the stored
     corpus; their perturbed twins are synthesized here exactly as the
@@ -207,14 +352,15 @@ def incremental_near_dup_update(
     aggregate and an anti-join count; disable only when the caller's id
     allocator already guarantees both).
 
-    ``prior`` overrides where the existing assignment comes from
-    (default: the stored near_dup_clusters artifact for ``sf_dir``) and
-    ``bits`` pins the hash tier explicitly — both are for CHAINED
-    updates (streaming.near_dup_index_stream), where batch N's prior is
-    batch N-1's output and the tier stays the stream-start tier.
+    ``prior`` / ``prior_p1`` override where the existing final / pass-1
+    assignments come from (default: the stored artifacts for
+    ``sf_dir``) and ``bits`` pins the hash tier explicitly — all for
+    CHAINED updates (streaming.near_dup_index_stream), where batch N's
+    priors are batch N-1's outputs and the tier stays the stream-start
+    tier.
 
     Production wiring: append the batch to the embeddings table, then
-    write this result through ``operators.index_store.stored_df`` for
+    write both results through ``operators.index_store.stored_df`` for
     the grown table — its content fingerprint differs from the base
     corpus's, so the store's keying stays correct with no extra
     invalidation step."""
@@ -239,87 +385,87 @@ def incremental_near_dup_update(
     if bits is None:
         bits = S.lsh_bits(S.corpus_count(spark, sf_dir))
     batch_corpus = batch_near_dup_corpus(new_vecs)
+    batch_ids = batch_corpus.select("vec_id")
 
     # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
-    # window job runs once, not per downstream action
+    # window job runs once across both growth stages
     new_edges = _new_member_edges(
         base_corpus.select("vec_id", "v", "norm"), batch_corpus, bits
     ).localCheckpoint()
+    if prior_p1 is None:
+        prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
     if prior is None:
         prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
 
-    # Components on the CONTRACTED graph only: every old endpoint
-    # collapses to its prior canonical id (prior canonical = min vec_id
-    # of its cluster, so min-label over the contracted graph equals
-    # min-label over the full graph — the contraction is exact, not an
-    # approximation). The iterative pass therefore runs on a graph
-    # sized by the BATCH (nodes = batch corpus + touched prior
-    # canonicals), never on the full corpus; the only corpus-sized work
-    # is one broadcast relabel scan of the narrow prior assignment.
-    batch_ids = batch_corpus.select("vec_id")
-    old_nodes = (
-        new_edges.select(F.col("src").alias("vec_id"))
-        .unionByName(new_edges.select(F.col("dst").alias("vec_id")))
+    # ---- stage 1: grow the pass-1 assignment -------------------------
+    p1_grown, cc1 = _grow_assignment(
+        spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges
+    )
+    p1_grown = p1_grown.localCheckpoint()
+
+    # ---- stage 2: rep churn -> affected-bucket pass-2 edges ----------
+    # Every OLD node in cc1 is a rep by construction (edge endpoints
+    # were contracted to their prior canonical; prior-absent old
+    # endpoints are pass-1 singletons — reps either way), so:
+    #   removed reps = old cc1 nodes whose component moved off them;
+    #   added reps   = batch members that became their own canonical.
+    # Both are batch-scale (cc1 nodes = batch corpus + touched prior
+    # canonicals) — no corpus-sized scan here.
+    removed_rep_ids = (
+        cc1.filter(F.col("component") != F.col("node"))
+        .select(F.col("node").alias("vec_id"))
         .join(batch_ids, "vec_id", "left_anti")
-        .distinct()
     )
-    # tiny -> broadcast; the narrow prior streams map-side (no shuffle);
-    # checkpointed: it feeds both contractions and the remap
-    old_cid = prior.join(F.broadcast(old_nodes), "vec_id").select(
-        "vec_id", F.col("canonical_id").alias("__cid")
-    ).localCheckpoint()
-
-    def _contract(edges: DataFrame, end: str) -> DataFrame:
-        m = old_cid.select(
-            F.col("vec_id").alias(end), F.col("__cid").alias(f"__c_{end}")
+    added_reps = (
+        cc1.join(batch_ids, cc1.node == batch_ids.vec_id, "left_semi")
+        .filter(F.col("component") == F.col("node"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    # churned reps' vectors: batch ones ride batch_corpus; removed old
+    # ones come from one broadcast-filtered base scan
+    churned_vecs = (
+        base_corpus.select("vec_id", "v", "norm")
+        .join(F.broadcast(removed_rep_ids), "vec_id")
+        .unionByName(
+            batch_corpus.join(F.broadcast(added_reps), "vec_id")
+            .select("vec_id", "v", "norm")
         )
-        return edges.join(F.broadcast(m), end, "left").withColumn(
-            end, F.coalesce(F.col(f"__c_{end}"), F.col(end))
-        ).drop(f"__c_{end}")
-
-    contracted = _contract(_contract(new_edges, "src"), "dst")
-    # isolated new vectors (no edge at all) must still appear in the
-    # assignment: self-edges register them as singleton components.
-    # Deliberate asymmetry vs the full build (which, like
-    # dedup_clusters, omits edge-less singletons): an ingest pipeline
-    # needs every ACCEPTED vector assigned — callers diffing against a
-    # rebuild should expect the incremental assignment ⊇ rebuild on
-    # exactly these singleton rows.
-    selves = batch_corpus.select(
-        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
     )
-    graph = contracted.unionByName(selves)
-    # Size-adaptive components (same discipline as operators.skew's
-    # decision): the contracted graph is batch-sized by construction
-    # (<= N_TABLES*W*|batch corpus| edges + |batch corpus| selves), so
-    # for ordinary ingest batches a driver union-find replaces ~6
-    # scheduler rounds of iterative min-label CC with ONE bounded
-    # collect — the same bounded-metadata class as the repo's top-k
-    # collects. Above the threshold (huge backfill batches) it stays
-    # distributed. new_edges is checkpointed, so the count is free.
-    if new_edges.count() <= driver_cc_max_edges:
-        cc = _driver_union_find(spark, graph)
-    else:
-        cc = connected_components(
-            graph, max_iter=64
-        )  # (node, component) over the contracted graph only
-
-    # touched prior canonicals -> their merged component (tiny)
-    remap = cc.join(
-        old_cid.select(F.col("__cid").alias("node")).distinct(), "node"
-    ).select(F.col("node").alias("__old"), F.col("component").alias("__new"))
-    relabeled = prior.join(
-        F.broadcast(remap), prior.canonical_id == F.col("__old"), "left"
-    ).select(
-        "vec_id",
-        F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
-            "canonical_id"
-        ),
+    affected = (
+        S.tabled_buckets(churned_vecs, bits).select("t", "bucket").distinct()
     )
-    batch_assign = cc.join(
-        F.broadcast(batch_ids), cc.node == batch_ids.vec_id
-    ).select("vec_id", F.col("component").alias("canonical_id"))
-    return relabeled.unionByName(batch_assign)
+    # current reps in affected buckets: one more broadcast-filtered
+    # tabled scan of base ∪ batch, minus pass-1 non-canonical members
+    # (the non-rep intersection is computed small-side-first so the
+    # corpus-sized grown assignment is never shuffled)
+    aff_members = (
+        S.tabled_buckets(
+            base_corpus.select("vec_id", "v", "norm").unionByName(
+                batch_corpus.select("vec_id", "v", "norm")
+            ),
+            bits,
+        )
+        .join(F.broadcast(affected), ["t", "bucket"], "left_semi")
+        .localCheckpoint()
+    )
+    aff_ids = aff_members.select("vec_id").distinct()
+    aff_nonreps = (
+        p1_grown.filter(F.col("vec_id") != F.col("canonical_id"))
+        .join(F.broadcast(aff_ids), "vec_id", "left_semi")
+        .select("vec_id")
+    )
+    rep_members = S.with_chain_keys(
+        aff_members.join(F.broadcast(aff_nonreps), "vec_id", "left_anti")
+        .withColumn("__new", F.lit(True))
+    )
+    p2_edges = _windowed_chain_edges(rep_members, require_new=False)
+
+    # ---- final: grow the prior final assignment with both edge sets --
+    grown, _ = _grow_assignment(
+        spark, prior, new_edges.unionByName(p2_edges), batch_corpus,
+        driver_cc_max_edges,
+    )
+    return (grown, p1_grown) if return_p1 else grown
 
 
 AUDIT_BATCH_K = 8

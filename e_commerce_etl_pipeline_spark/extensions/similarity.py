@@ -792,40 +792,29 @@ def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain_edges_arrow(r, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS)
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTER membership with no fence and no drops —
-    the recall-preserving scale path for clone-heavy corpora (r7,
-    closing the r6 fence's measured 71%-of-vectors recall gap at sf10).
+def _w_suffix() -> str:
+    # The artifact answer depends on the chain width, so a non-default W
+    # gets its own artifact key — otherwise a tuned run would silently
+    # reuse (or poison) the default-W store for the same corpus
+    # fingerprint.
+    return "" if NEAR_DUP_CHAIN_W == 16 else f"_w{NEAR_DUP_CHAIN_W}"
 
-    For EACH of the N_TABLES sign-LSH tables (disjoint dim groups),
-    bucket members are ranked by (norm-scaled projection on that
-    table's chain direction, vec_id) — see _chain_coefs — and each
-    vector pairs only with its NEAR_DUP_CHAIN_W successors: candidates
-    stay ≤ N_TABLES·W·n at ANY bucket occupancy (a 6,587-vector
-    clone-mass bucket contributes 6587·16 ≈ 105k candidates per table
-    instead of C(6587,2) ≈ 21.7 M). Verified chain edges (cosine >=
-    NEAR_DUP_COS) from all tables feed ONE connected-components pass:
-    a true pair only needs adjacency in ANY table's ordering (or a
-    transitive chain through its clone family) — multi-table union
-    compounds the per-table miss probability, the same recall lever
-    multi-table LSH uses for top-k. Measured by near_dup_recall_eval,
-    not claimed. Returns (vec_id, canonical_id = min reachable id);
-    singletons (no verified edge) don't appear, as in dedup_clusters.
-    The assignment is a fingerprint-keyed stored index artifact (built
-    once per corpus snapshot, shared across sessions; an upsert
-    invalidates).
 
-    Scale shape: per table, one ranking window per bucket (the same
-    shuffle the chain join needs) and a W-way equi-join on (bucket,
-    rank); then min-label propagation whose iteration count is the max
-    chain diameter ≈ family_size / W."""
+def near_dup_p1_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS-1 assignment: connected components over the full-corpus
+    chain edges — stored as its own artifact because two consumers need
+    it beyond the final answer: pass 2 derives its rep set from it, and
+    the incremental updater (extensions.incremental_clusters) diffs rep
+    CHURN against it per ingest batch. Returns (vec_id, canonical_id =
+    min reachable id); singletons (no verified edge) don't appear.
+
+    max_iter: min-labels travel one chain hop per iteration; the worst
+    family diameter is family_size / W (sf10 families ≈ 200 members →
+    ~13 hops). 64 leaves 4-5× headroom; convergence is detected, so
+    typical corpora stop after 2-3 rounds."""
     from .components import connected_components
 
     def build() -> DataFrame:
-        # max_iter: min-labels travel one chain hop per iteration; the
-        # worst family diameter is family_size / W (sf10 families ≈ 200
-        # members → ~13 hops). 64 leaves 4-5× headroom; convergence is
-        # detected, so typical corpora stop after 2-3 rounds.
         return connected_components(
             near_dup_chain_edges(spark, sf_dir), max_iter=64
         ).select(
@@ -833,14 +822,109 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("canonical_id"),
         )
 
-    # The artifact answer depends on the chain width, so a non-default W
-    # gets its own artifact key — otherwise a tuned run would silently
-    # reuse (or poison) the default-W store for the same corpus
-    # fingerprint. Default keeps the historical name to reuse existing
-    # stores.
-    name = ("near_dup_clusters" if NEAR_DUP_CHAIN_W == 16
-            else f"near_dup_clusters_w{NEAR_DUP_CHAIN_W}")
-    return index_store.stored_df(spark, _emb_table(sf_dir), name, build)
+    return index_store.stored_df(
+        spark, _emb_table(sf_dir), f"near_dup_p1{_w_suffix()}", build
+    )
+
+
+def near_dup_rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pass-2 rep corpus: one representative VECTOR per pass-1
+    family (the canonical member — min id, so both engines pick the
+    same row) plus every pass-1 singleton. Contracting each family to
+    its canonical is what closes the chain-W pile-up gap: the r8 sf10
+    miss diagnosis found true pairs separated by up to 382 interleaved
+    rows of OTHER families in the chain order — after contraction those
+    382 rows collapse to ~families/W reps, putting the split segments
+    back within W of each other."""
+    corpus = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
+    nonreps = (
+        near_dup_p1_clusters(spark, sf_dir)
+        .filter(F.col("vec_id") != F.col("canonical_id"))
+        .select("vec_id")
+    )
+    return corpus.join(nonreps, "vec_id", "left_anti")
+
+
+def near_dup_rep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS-2 chain edges: the identical bucket/signature/projection/W
+    machinery as pass 1 (same seeds, same bits — the contraction itself
+    is what changes adjacency), run over the rep corpus only. Cost is
+    proportional to the REP count, which on exactly the clone-heavy
+    corpora where pass 2 matters is a small fraction of n."""
+    reps = near_dup_rep_corpus(spark, sf_dir)
+    bits = lsh_bits(corpus_count(spark, sf_dir))
+    r = with_chain_keys(tabled_buckets(reps, bits))
+    return chain_edges_arrow(r, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS)
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER membership with no fence and no drops —
+    the recall-preserving scale path for clone-heavy corpora, since r9
+    a TWO-PASS build (VERDICT r8 #1: no fixed W beats an adversarial
+    clone pile-up; the second pass over pass-1 canonicals does).
+
+    Pass 1 — for EACH of the N_TABLES sign-LSH tables (disjoint dim
+    groups), bucket members are ranked by (rotated sign signature,
+    norm-scaled projection, vec_id) — see _chain_coefs — and each
+    vector pairs only with its NEAR_DUP_CHAIN_W successors: candidates
+    stay ≤ N_TABLES·W·n at ANY bucket occupancy (a 6,587-vector
+    clone-mass bucket contributes 6587·16 ≈ 105k candidates per table
+    instead of C(6587,2) ≈ 21.7 M). Verified chain edges (cosine >=
+    NEAR_DUP_COS) from all tables feed one connected-components pass.
+
+    Pass 2 — each pass-1 family contracts to its canonical member and
+    the SAME chain machinery reruns over reps only (near_dup_rep_edges):
+    a true pair whose chain segments were split by interleaved clone
+    mass (the r8 diagnosed misses: shared bucket, rank distance 25-382)
+    re-meets once the interleaving families collapse to single reps.
+    Components over pass-2 edges relabel the pass-1 assignment (the
+    contraction is exact for min-label: a canonical IS the min id of
+    its family, so min over reachable reps = min over reachable
+    members); pass-1 singletons that gain a pass-2 edge join the
+    assignment. Equals the closure over (pass-1 ∪ pass-2) edges — the
+    DuckDB oracle computes exactly that closure, structurally
+    differently. Recall is measured by near_dup_recall_eval, not
+    claimed. Returns (vec_id, canonical_id = min reachable id);
+    vectors with no verified edge in either pass don't appear, as in
+    dedup_clusters. The assignment is a fingerprint-keyed stored index
+    artifact (built once per corpus snapshot, shared across sessions;
+    an upsert invalidates).
+
+    Scale shape: two chain passes (one shuffle on (t, bucket) each —
+    the second over reps only), two bounded min-label propagations, one
+    narrow relabel join."""
+    from .components import connected_components
+
+    def build() -> DataFrame:
+        p1 = near_dup_p1_clusters(spark, sf_dir)
+        cc2 = connected_components(
+            near_dup_rep_edges(spark, sf_dir), max_iter=64
+        )
+        remap = cc2.select(
+            F.col("node").alias("__c"), F.col("component").alias("__sc")
+        )
+        relabeled = p1.join(
+            remap, p1.canonical_id == F.col("__c"), "left"
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("__sc"), F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+        )
+        newly = (
+            cc2.select(
+                F.col("node").alias("vec_id"),
+                F.col("component").alias("canonical_id"),
+            )
+            .join(p1.select("vec_id"), "vec_id", "left_anti")
+        )
+        return relabeled.unionByName(newly)
+
+    # _v2: the two-pass answer differs from the r7/r8 single-pass one,
+    # so it must not reuse a stale same-fingerprint store.
+    return index_store.stored_df(
+        spark, _emb_table(sf_dir), f"near_dup_clusters_v2{_w_suffix()}", build
+    )
 
 
 def near_dup_recall_eval(
@@ -988,8 +1072,8 @@ _ND_FENCED_PAIRS_SQL = f"""fenced AS (
 # normalized-projection rank, W-successor candidate edges, cosine
 # verify; edges from all tables union into min-reachable-id via
 # recursive CTE (label propagation converges to exactly this fixpoint).
-def _chain_table_sql(t: int) -> str:
-    return f"""rt{t} AS (
+def _chain_table_sql(t: int, src: str = "nb", name: str = "rt") -> str:
+    return f"""{name}{t} AS (
   SELECT vec_id, v, norm, bucket,
          ROW_NUMBER() OVER (PARTITION BY bucket
                             ORDER BY sig, proj, vec_id) AS rn
@@ -998,14 +1082,14 @@ def _chain_table_sql(t: int) -> str:
            {_bucket_sql(t, elem="v", bits_expr="params.bits")} AS bucket,
            {_rot_sig_sql(t)} AS sig,
            {_chain_proj_sql(t)} AS proj
-    FROM nb, params
+    FROM {src}, params
   )
 )"""
 
 
-def _chain_edges_sql(t: int) -> str:
+def _chain_edges_sql(t: int, name: str = "rt") -> str:
     return f"""  SELECT a.vec_id AS va, b2.vec_id AS vb
-  FROM rt{t} a JOIN rt{t} b2
+  FROM {name}{t} a JOIN {name}{t} b2
     ON a.bucket = b2.bucket AND b2.rn - a.rn BETWEEN 1 AND {NEAR_DUP_CHAIN_W}
   WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}"""
 
@@ -1014,15 +1098,53 @@ def _chain_edges_sql(t: int) -> str:
 # curation._near_dup_splits_sql to compose the near-dup-safe split
 # oracle — renaming a CTE here (params / corpus / nb / nd_clusters)
 # must keep that composition compiling (check_oracle near_dup_safe_splits).
+#
+# Two-pass mirror of near_dup_clusters, kept structurally DIFFERENT
+# from the Spark build: instead of relabeling pass-1 components through
+# pass-2 components (the Spark contraction), the oracle closes over the
+# UNION of pass-1 and pass-2 edge sets with one recursive CTE — the
+# contraction argument (a canonical is the min id of its family) says
+# both compute the same fixpoint, and the hash gate checks it.
 _ND_CLUSTERS_SQL = (
     ",\n".join(_chain_table_sql(t) for t in range(N_TABLES))
     + ", e0 AS (\n"
     + "\n  UNION ALL\n".join(_chain_edges_sql(t) for t in range(N_TABLES))
-    + f"""
-), nd_edges AS (
+    + """
+), p1e AS MATERIALIZED (
   SELECT va AS src, vb AS dst FROM e0
   UNION
   SELECT vb, va FROM e0
+), reach1(node, target) AS (
+  SELECT src, src FROM p1e
+  UNION
+  SELECT e.src, rr.target FROM p1e e JOIN reach1 rr ON e.dst = rr.node
+), p1c AS MATERIALIZED (
+  SELECT node AS vec_id, MIN(target) AS canonical_id
+  FROM reach1 GROUP BY node
+), repsb AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing on every multiply-referenced CTE
+  -- above a recursive closure: DuckDB 1.0 inlines CTEs per reference,
+  -- and the 8 rp{t} self-join scans of repsb would each re-run the
+  -- whole pass-1 recursion (measured: 10+ CPU-minutes at sf0.001
+  -- instead of seconds)
+  SELECT vec_id, v, norm FROM nb
+  WHERE vec_id NOT IN (SELECT vec_id FROM p1c WHERE vec_id <> canonical_id)
+),
+"""
+    + ",\n".join(
+        _chain_table_sql(t, src="repsb", name="rp") for t in range(N_TABLES)
+    )
+    + ", e2 AS MATERIALIZED (\n"
+    + "\n  UNION ALL\n".join(
+        _chain_edges_sql(t, name="rp") for t in range(N_TABLES)
+    )
+    + """
+), nd_edges AS MATERIALIZED (
+  SELECT src, dst FROM p1e
+  UNION
+  SELECT va, vb FROM e2
+  UNION
+  SELECT vb, va FROM e2
 ), reach(node, target) AS (
   SELECT src, src FROM nd_edges
   UNION

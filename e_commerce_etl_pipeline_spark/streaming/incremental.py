@@ -128,6 +128,13 @@ def _assignment_root(work_dir: str) -> str:
     return f"{work_dir.rstrip('/')}/near_dup_assignment.parquet"
 
 
+def _p1_root(work_dir: str) -> str:
+    # the maintained PASS-1 assignment (the two-pass build's first
+    # stage) — versioned alongside the final assignment; batch N's
+    # update diffs rep churn against version N-1
+    return f"{work_dir.rstrip('/')}/near_dup_p1.parquet"
+
+
 def _latest_assignment_version(spark: SparkSession, root: str) -> int | None:
     """Highest v=<n> child carrying a _SUCCESS marker (a complete
     Spark-committed write); incomplete crash leftovers are skipped."""
@@ -208,11 +215,17 @@ def near_dup_index_stream(
 
     bits = S.lsh_bits(S.corpus_count(spark, work_dir))
     assign_root = _assignment_root(work_dir)
+    p1_root = _p1_root(work_dir)
     emb_path = table_dir(work_dir, "embeddings")
 
     from ..operators import fsops
 
     if _latest_assignment_version(spark, assign_root) is None:
+        # p1 first: a complete FINAL version implies its p1 sibling
+        # exists (readers key completeness off the final)
+        S.near_dup_p1_clusters(spark, work_dir).write.parquet(
+            f"{p1_root}/v=0"
+        )
         S.near_dup_clusters(spark, work_dir).write.parquet(
             f"{assign_root}/v=0"
         )
@@ -262,12 +275,20 @@ def near_dup_index_stream(
                 f"overlaps the stored corpus ({n_over}/{n_batch} ids) — "
                 f"not a replay; fix the id allocator"
             )
-        prior = read_assignment(spark, work_dir)
-        grown = incremental_near_dup_update(
-            spark, work_dir, batch_df, prior=prior, bits=bits,
+        # the p1 sibling of the final version the reader picked (they
+        # are written as a pair, p1 first, so it always exists)
+        v_prior = _latest_assignment_version(spark, assign_root)
+        prior = spark.read.parquet(f"{assign_root}/v={v_prior}")
+        prior_p1 = spark.read.parquet(f"{p1_root}/v={v_prior}")
+        grown, grown_p1 = incremental_near_dup_update(
+            spark, work_dir, batch_df, prior=prior, prior_p1=prior_p1,
+            bits=bits, return_p1=True,
             check_ids=False,  # the three-way pre-check above subsumes it
-        ).localCheckpoint()  # materialize BEFORE writing its input's successor
+        )
+        # materialize BEFORE writing either input's successor
+        grown = grown.localCheckpoint()
         v = batch_id + 1
+        grown_p1.write.mode("overwrite").parquet(f"{p1_root}/v={v}")
         grown.write.mode("overwrite").parquet(f"{assign_root}/v={v}")
         # append with the corpus table's own embedding element type —
         # a mixed float/double parquet directory would poison later reads
@@ -277,9 +298,10 @@ def near_dup_index_stream(
             F.col("embedding").cast(emb_type).alias("embedding"),
         ).write.mode("append").parquet(emb_path)
         # keep this and the previous complete version; prune the rest
-        for name in fsops.list_child_names(assign_root, spark):
-            if name.startswith("v=") and int(name[2:]) < v - 1:
-                fsops.delete(f"{assign_root}/{name}", spark)
+        for root in (assign_root, p1_root):
+            for name in fsops.list_child_names(root, spark):
+                if name.startswith("v=") and int(name[2:]) < v - 1:
+                    fsops.delete(f"{root}/{name}", spark)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
     if checkpoint_dir:

@@ -159,6 +159,8 @@ def main() -> None:
     out["wide_vocab_passes"] = st_wide["passes"]
     out["wide_vocab_driver_side"] = bool(st_wide.get("driver_side"))
 
+    from tools.provenance import sf_provenance
+    out["provenance"] = sf_provenance(sf_dir)
     line = json.dumps(out)
     print(line)
     if len(sys.argv) > 2:

@@ -147,6 +147,8 @@ def main() -> None:
     cold["vocab"] = quality_classifier_weights(spark, sf_dir).count()
     out["quality_classifier"] = {"cold": cold, "warm": warm}
 
+    from tools.provenance import sf_provenance
+    out["provenance"] = sf_provenance(sf_dir)
     line = json.dumps(out)
     print(line)
     if len(sys.argv) > 2:

@@ -144,6 +144,8 @@ def main() -> None:
             "twin_capture": round(twins_flagged / float(n), 6),
         },
     }
+    from tools.provenance import sf_provenance
+    out["provenance"] = sf_provenance(sf_dir)
     line = json.dumps(out)
     if out_file:
         with open(out_file, "w") as f:

@@ -84,6 +84,8 @@ def main() -> None:
         "tokens": int(sum(r["tokens"] for r in rows)),
     }
 
+    from tools.provenance import sf_provenance
+    out["provenance"] = sf_provenance(sf_dir)
     line = json.dumps(out)
     print(line)
     if len(sys.argv) > 2:

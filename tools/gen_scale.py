@@ -195,12 +195,39 @@ def main() -> None:
         )
         write(emb.withColumn("embedding", perturbed), "embeddings", 4)
 
+    counts = {}
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"):
         if not wanted(name):
             continue
         n = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        counts[name] = n
         print(f"{name}: {n}", flush=True)
+
+    # Provenance sidecar (VERDICT r8 #6): every scale corpus records HOW
+    # it was generated — in particular whether it was chained (×10 of a
+    # ×10, heavier clone mass per the r8 near-dup recall split) or
+    # direct (×100 of the base) — so BENCH/PROBE artifacts that copy it
+    # (tools/provenance.py) are self-describing. The generator is
+    # deterministic (no seed); chain depth is the nesting of
+    # src_provenance.
+    import json
+
+    src_prov = None
+    try:
+        with open(f"{src.rstrip('/')}/_provenance.json") as fh:
+            src_prov = json.load(fh)
+    except OSError:
+        pass
+    with open(f"{dst.rstrip('/')}/_provenance.json", "w") as fh:
+        json.dump({
+            "generator": "tools/gen_scale.py",
+            "src": src, "dst": dst, "multiplier": m, "hot_pct": hot_pct,
+            "tables": sorted(only) if only else "all",
+            "row_counts": counts,
+            "src_provenance": src_prov,
+        }, fh, indent=1)
+    print("wrote _provenance.json", flush=True)
 
 
 if __name__ == "__main__":
