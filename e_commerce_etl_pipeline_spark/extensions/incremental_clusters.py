@@ -28,13 +28,15 @@ grows the stored assignment instead:
      prior (vec_id, canonical_id) scan plus the batch's new rows — no
      corpus-sized iteration anywhere.
   4. (r9, matching the two-pass full build) The batch's effect on the
-     PASS-2 rep set is diffed from the contracted components result
-     (added reps = new canonicals, removed reps = absorbed canonicals/
-     singletons), the (table, bucket)s holding churned reps are
-     re-enumerated over the current rep set in full, and those verified
-     edges join the final growth. Unaffected buckets kept their exact
-     rep membership and order, so their pass-2 edges are unchanged from
-     the prior build — already implied by the prior assignment.
+     PASS-2 boundary corpus is derived from the contracted components
+     result: every family the batch edges reached (old cc1 nodes'
+     families) plus the batch's own new families may have changed
+     boundary rows, so the (table, bucket)s holding any member of a
+     touched family are re-enumerated — current boundary rows, wide
+     pass-2 window, all verified edges join the final growth. A
+     family's boundary rows change only with ITS membership, so
+     unaffected buckets kept their exact pass-2 row set and order —
+     already implied by the prior assignment.
 
 Correctness shape (asserted by tests/test_incremental_clusters.py
 against a from-scratch rebuild):
@@ -84,7 +86,9 @@ that discipline applied to the cluster index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.queries import load_table
 from . import similarity as S
@@ -120,68 +124,31 @@ def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
     )
 
 
-def _windowed_chain_edges(members: DataFrame, require_new: bool) -> DataFrame:
-    """Cosine-verified W-successor chain edges over ``members`` rows
-    (t, bucket, vec_id, v, norm, __new) — full-bucket chain order, the
-    same (sig, proj, vec_id) window a rebuild uses. With
-    ``require_new``, only edges touching a __new row are kept (the
-    pass-1 increment: old-old adjacency can't appear under pure
-    insertion); without it every enumerated edge is kept (the pass-2
-    increment: rep REMOVAL compresses ranks, so old-old adjacencies are
-    real — extras contract to self-loops downstream, harmless)."""
-    w = Window.partitionBy("t", "bucket").orderBy("__sig", "__proj", "vec_id")
-    # checkpoint the ranked members (tiny: affected buckets only) so the
-    # W-successor rank-join below joins two LEAVES — without this the
-    # whole bucket/signature tree is duplicated into both join inputs
-    # and Catalyst re-analyzes it twice per action (measured: the
-    # dominant cost of the update was driver-side plan work, not tasks)
-    r = members.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
-    left = (
-        r.select(
-            "t", "bucket", F.col("vec_id").alias("va"),
-            F.col("v").alias("av"), F.col("norm").alias("an"),
-            F.col("__new").alias("na"), F.col("__rn").alias("ra"),
-        )
-        .withColumn(
-            "__k",
-            F.explode(F.sequence(F.lit(1), F.lit(S.NEAR_DUP_CHAIN_W))),
-        )
-        .withColumn("rb", F.col("ra") + F.col("__k"))
-    )
-    right = r.select(
-        "t", "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
-        F.col("norm").alias("bn"), F.col("__new").alias("nb"),
-        F.col("__rn").alias("rb"),
-    )
-    out = left.join(right, ["t", "bucket", "rb"])
-    if require_new:
-        out = out.filter(F.col("na") | F.col("nb"))
-    return out.filter(
-        S.dot(F.col("av"), F.col("bv"))
-        / (F.col("an") * F.col("bn")) >= S.NEAR_DUP_COS
-    ).select(F.col("va").alias("src"), F.col("vb").alias("dst"))
-
-
 def _new_member_edges(
     base_corpus: DataFrame, batch_corpus: DataFrame, bits: int
 ) -> DataFrame:
-    """Pass-1 increment: cosine-verified chain edges involving >=1
-    batch vector, derived over ONLY the (table, bucket) pairs the batch
-    touches, in the same full-bucket chain order a rebuild would use.
-    One window + one rank-join across all tables (keyed by (t, bucket))
-    instead of a per-table stage chain."""
-    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits))
+    """Pass-1 increment: cosine-verified chain edges over ONLY the
+    (table, bucket) pairs the batch touches, in the same full-bucket
+    chain order a rebuild would use, formed by the SAME Arrow kernel
+    the full build uses (r9 — the former window + explode + rank-join
+    localCheckpointed the affected rows WIDE (v + signatures), the
+    dominant per-batch cost at sf10). Old-old edges inside an affected
+    bucket are emitted too: they are cosine-verified, so they merge
+    nothing a rebuild wouldn't (already-co-clustered endpoints contract
+    to self-loops downstream)."""
+    nt = _tabled_all(batch_corpus, True, bits)
     # affected buckets: a batch is small relative to the corpus, so the
     # (table, bucket) list broadcasts and the base-side filter is a
     # broadcast semi-join (no shuffle of the base corpus). Chain keys
     # attach after the filter — only affected rows pay for them.
     touched = nt.select("t", "bucket").distinct()
-    bt = S.with_chain_keys(
-        _tabled_all(base_corpus, False, bits).join(
-            F.broadcast(touched), ["t", "bucket"], "left_semi"
-        )
+    bt = _tabled_all(base_corpus, False, bits).join(
+        F.broadcast(touched), ["t", "bucket"], "left_semi"
     )
-    return _windowed_chain_edges(bt.unionByName(nt), require_new=True)
+    members = S.with_chain_keys(bt.unionByName(nt))
+    return S.chain_edges_arrow(
+        members, ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS
+    )
 
 
 def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
@@ -213,6 +180,11 @@ def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
 # driver union-find cutoff for the contracted graph; above it the
 # iterative distributed pass runs (huge backfill batches)
 DRIVER_CC_MAX_EDGES = 200_000
+
+# Stage wall-times of the most recent incremental_near_dup_update call
+# (seconds, keyed by stage) — tools/bench_incremental.py reports them so
+# the fixed-overhead profile (VERDICT r8 #4) is measured, not guessed.
+LAST_TIMINGS: dict[str, float] = {}
 
 
 def _grow_assignment(
@@ -387,11 +359,15 @@ def incremental_near_dup_update(
     batch_corpus = batch_near_dup_corpus(new_vecs)
     batch_ids = batch_corpus.select("vec_id")
 
+    LAST_TIMINGS.clear()
+    _t = time.time()
     # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
     # window job runs once across both growth stages
     new_edges = _new_member_edges(
         base_corpus.select("vec_id", "v", "norm"), batch_corpus, bits
     ).localCheckpoint()
+    LAST_TIMINGS["p1_edges"] = time.time() - _t
+    _t = time.time()
     if prior_p1 is None:
         prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
     if prior is None:
@@ -402,43 +378,44 @@ def incremental_near_dup_update(
         spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges
     )
     p1_grown = p1_grown.localCheckpoint()
+    LAST_TIMINGS["grow_p1"] = time.time() - _t
+    _t = time.time()
 
-    # ---- stage 2: rep churn -> affected-bucket pass-2 edges ----------
-    # Every OLD node in cc1 is a rep by construction (edge endpoints
-    # were contracted to their prior canonical; prior-absent old
-    # endpoints are pass-1 singletons — reps either way), so:
-    #   removed reps = old cc1 nodes whose component moved off them;
-    #   added reps   = batch members that became their own canonical.
-    # Both are batch-scale (cc1 nodes = batch corpus + touched prior
-    # canonicals) — no corpus-sized scan here.
-    removed_rep_ids = (
-        cc1.filter(F.col("component") != F.col("node"))
-        .select(F.col("node").alias("vec_id"))
-        .join(batch_ids, "vec_id", "left_anti")
+    # ---- stage 2: touched families -> affected-bucket pass-2 edges ---
+    # Pass 2 runs over BOUNDARY rows per (t, bucket, pass-1 family)
+    # (similarity.p2_boundary_rows). A family's boundary rows change
+    # only when ITS membership changes, so the affected buckets are
+    # those holding any member of a TOUCHED family: every old cc1 node
+    # is a prior canonical or prior-absent singleton of a family the
+    # batch edges reached (gaining members or merging either way), and
+    # the batch brings its own new families. Touched family mass is
+    # batch-scale (bounded by batch size x family sizes).
+    touched_old = cc1.select(F.col("node").alias("vec_id")).join(
+        batch_ids, "vec_id", "left_anti"
+    ).distinct()
+    touched_members = (
+        prior_p1.join(
+            F.broadcast(
+                touched_old.withColumnRenamed("vec_id", "canonical_id")
+            ),
+            "canonical_id", "left_semi",
+        ).select("vec_id")
+        .unionByName(touched_old)  # singleton families aren't in prior_p1
+        .distinct()
     )
-    added_reps = (
-        cc1.join(batch_ids, cc1.node == batch_ids.vec_id, "left_semi")
-        .filter(F.col("component") == F.col("node"))
-        .select(F.col("node").alias("vec_id"))
-    )
-    # churned reps' vectors: batch ones ride batch_corpus; removed old
-    # ones come from one broadcast-filtered base scan
     churned_vecs = (
         base_corpus.select("vec_id", "v", "norm")
-        .join(F.broadcast(removed_rep_ids), "vec_id")
-        .unionByName(
-            batch_corpus.join(F.broadcast(added_reps), "vec_id")
-            .select("vec_id", "v", "norm")
-        )
+        .join(F.broadcast(touched_members), "vec_id")
+        .unionByName(batch_corpus.select("vec_id", "v", "norm"))
     )
     affected = (
         S.tabled_buckets(churned_vecs, bits).select("t", "bucket").distinct()
     )
-    # current reps in affected buckets: one more broadcast-filtered
-    # tabled scan of base ∪ batch, minus pass-1 non-canonical members
-    # (the non-rep intersection is computed small-side-first so the
-    # corpus-sized grown assignment is never shuffled)
-    aff_members = (
+    # current members of affected buckets with their grown pass-1 family
+    # (small-side-first lookups so the corpus-sized assignment is never
+    # shuffled), contracted to boundary rows, chained with the WIDE
+    # pass-2 window — the same kernel + occupancy cap as the full build
+    aff_keyed = S.with_chain_keys(
         S.tabled_buckets(
             base_corpus.select("vec_id", "v", "norm").unionByName(
                 batch_corpus.select("vec_id", "v", "norm")
@@ -446,25 +423,27 @@ def incremental_near_dup_update(
             bits,
         )
         .join(F.broadcast(affected), ["t", "bucket"], "left_semi")
-        .localCheckpoint()
+    ).localCheckpoint()
+    aff_ids = aff_keyed.select("vec_id").distinct()
+    fam_map = (
+        p1_grown.join(F.broadcast(aff_ids), "vec_id", "left_semi")
+        .withColumnRenamed("canonical_id", "__fam")
     )
-    aff_ids = aff_members.select("vec_id").distinct()
-    aff_nonreps = (
-        p1_grown.filter(F.col("vec_id") != F.col("canonical_id"))
-        .join(F.broadcast(aff_ids), "vec_id", "left_semi")
-        .select("vec_id")
+    keyed_fam = aff_keyed.join(F.broadcast(fam_map), "vec_id", "left") \
+        .withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    p2_edges = S.chain_edges_arrow(
+        S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
+        S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
     )
-    rep_members = S.with_chain_keys(
-        aff_members.join(F.broadcast(aff_nonreps), "vec_id", "left_anti")
-        .withColumn("__new", F.lit(True))
-    )
-    p2_edges = _windowed_chain_edges(rep_members, require_new=False)
+    LAST_TIMINGS["p2_edges"] = time.time() - _t
+    _t = time.time()
 
     # ---- final: grow the prior final assignment with both edge sets --
     grown, _ = _grow_assignment(
         spark, prior, new_edges.unionByName(p2_edges), batch_corpus,
         driver_cc_max_edges,
     )
+    LAST_TIMINGS["grow_final"] = time.time() - _t
     return (grown, p1_grown) if return_p1 else grown
 
 

@@ -378,7 +378,11 @@ MAX_LSH_BUCKET_VECS = 64
 # this engine generates keeps vec_id < TWIN_OFFSET (asserted at corpus
 # build — a larger corpus would collide base and twin ids, corrupting
 # pair enumeration and making the fence ordering non-total).
-TWIN_OFFSET = 1_000_000
+# Env-tunable (r9): the default covers every driver corpus; the sf100
+# near-dup probe (2M base vecs) must widen it BEFORE import — every SQL
+# mirror interpolates this constant at import time, so Spark and oracle
+# stay consistent at any setting.
+TWIN_OFFSET = int(os.environ.get("SPARK_GRAFT_TWIN_OFFSET", "1000000"))
 
 # Chain-link window for near_dup_clusters: each vector pairs with its
 # NEAR_DUP_CHAIN_W successors in per-bucket projection order —
@@ -398,6 +402,15 @@ TWIN_OFFSET = 1_000_000
 # oracle templates read this same constant at import, so Spark and
 # oracle stay consistent at any setting.
 NEAR_DUP_CHAIN_W = int(os.environ.get("SPARK_GRAFT_ND_CHAIN_W", "16"))
+
+# Pass-2 chain width (r9): the rep/boundary corpus is a small fraction
+# of the member corpus on exactly the clone-heavy corpora where pass 2
+# matters, so its width can be ~24x pass-1's for the same budget. The
+# r9 heavy-corpus diagnosis measured residual miss distances up to 382
+# member ranks (shrinking at boundary level); 384 covers every observed
+# pile-up. chain_edges_arrow skips widths beyond each batch's largest
+# key group, so small buckets (clean corpora) never pay the loop.
+NEAR_DUP_P2_W = int(os.environ.get("SPARK_GRAFT_ND_P2_W", "384"))
 
 NEAR_DUP_COS = 0.999
 
@@ -737,8 +750,21 @@ def chain_edges_arrow(
             norms = pdf["norm"].to_numpy(dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             keys = [pdf[c].to_numpy() for c in key_cols]
+            # occupancy cap: no pair can span a key-group boundary, so
+            # widths beyond the largest group in THIS frame do nothing —
+            # skip them (what makes a wide pass-2 width free on corpora
+            # whose buckets are small)
+            if keys:
+                chg = np.zeros(m, dtype=bool)
+                chg[0] = True
+                for arr in keys:
+                    chg[1:] |= arr[1:] != arr[:-1]
+                starts = np.flatnonzero(chg)
+                kcap = int(np.diff(np.append(starts, m)).max()) - 1
+            else:
+                kcap = m - 1
             src_all, dst_all = [], []
-            for k in range(1, w + 1):
+            for k in range(1, min(w, kcap) + 1):
                 if k >= m:
                     break
                 mask = np.ones(m - k, dtype=bool)
@@ -800,6 +826,13 @@ def _w_suffix() -> str:
     return "" if NEAR_DUP_CHAIN_W == 16 else f"_w{NEAR_DUP_CHAIN_W}"
 
 
+def _w2_suffix() -> str:
+    # final-assignment artifacts additionally depend on the pass-2 width
+    return _w_suffix() + (
+        "" if NEAR_DUP_P2_W == 384 else f"_p{NEAR_DUP_P2_W}"
+    )
+
+
 def near_dup_p1_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PASS-1 assignment: connected components over the full-corpus
     chain edges — stored as its own artifact because two consumers need
@@ -828,14 +861,9 @@ def near_dup_p1_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pass-2 rep corpus: one representative VECTOR per pass-1
-    family (the canonical member — min id, so both engines pick the
-    same row) plus every pass-1 singleton. Contracting each family to
-    its canonical is what closes the chain-W pile-up gap: the r8 sf10
-    miss diagnosis found true pairs separated by up to 382 interleaved
-    rows of OTHER families in the chain order — after contraction those
-    382 rows collapse to ~families/W reps, putting the split segments
-    back within W of each other."""
+    """One representative VECTOR per pass-1 family (the canonical
+    member) plus every pass-1 singleton — the contraction view used by
+    tools/diag_near_dup_miss.py to attribute residual misses."""
     corpus = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
     nonreps = (
         near_dup_p1_clusters(spark, sf_dir)
@@ -845,16 +873,63 @@ def near_dup_rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(nonreps, "vec_id", "left_anti")
 
 
-def near_dup_rep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PASS-2 chain edges: the identical bucket/signature/projection/W
-    machinery as pass 1 (same seeds, same bits — the contraction itself
-    is what changes adjacency), run over the rep corpus only. Cost is
-    proportional to the REP count, which on exactly the clone-heavy
-    corpora where pass 2 matters is a small fraction of n."""
-    reps = near_dup_rep_corpus(spark, sf_dir)
+def p2_boundary_rows(keyed_fam: DataFrame) -> DataFrame:
+    """Per (t, bucket, family): the FIRST and LAST member in the chain
+    order plus the family CANONICAL — the pass-2 corpus rows. Input
+    must carry (t, bucket, __sig, __proj, vec_id, v, norm, __fam);
+    output drops the helper columns.
+
+    Why boundaries and not one rep per family: the r9 heavy-corpus
+    diagnosis (DIAG_near_dup_miss_sf10heavy_r9.json) split the residual
+    two-pass misses into reps-still-too-far AND rep-cosine-fails — two
+    drift-chain families can hold a true cos>=0.999 MEMBER pair while
+    their canonical members sit farther than the threshold, so any
+    single-rep contraction verifies the wrong vectors. The first/last
+    members per bucket-group are the geometrically extremal real
+    members (verification happens member-to-member); the canonical is
+    kept too so the pass-2 edge set stays a superset of the r9
+    canonical-rep design."""
+    w_asc = Window.partitionBy("t", "bucket", "__fam").orderBy(
+        "__sig", "__proj", "vec_id"
+    )
+    wf = Window.partitionBy("t", "bucket", "__fam")
+    marked = keyed_fam.withColumn(
+        "__rf", F.row_number().over(w_asc)
+    ).withColumn("__cf", F.count(F.lit(1)).over(wf))
+    return marked.filter(
+        (F.col("__rf") == 1)
+        | (F.col("__rf") == F.col("__cf"))
+        | (F.col("vec_id") == F.col("__fam"))
+    ).drop("__rf", "__cf", "__fam")
+
+
+def near_dup_p2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pass-2 corpus: boundary rows (see p2_boundary_rows) of every
+    (t, bucket, pass-1 family). On clone-heavy corpora this is a small
+    fraction of the member rows — exactly where the wide pass-2 chain
+    width pays for itself; on clean corpora families are singletons and
+    the occupancy cap in chain_edges_arrow keeps the wide width free."""
+    corpus = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
     bits = lsh_bits(corpus_count(spark, sf_dir))
-    r = with_chain_keys(tabled_buckets(reps, bits))
-    return chain_edges_arrow(r, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS)
+    keyed = with_chain_keys(tabled_buckets(corpus, bits))
+    p1 = near_dup_p1_clusters(spark, sf_dir)
+    fam = keyed.join(
+        p1.withColumnRenamed("canonical_id", "__fam"), "vec_id", "left"
+    ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    return p2_boundary_rows(fam)
+
+
+def near_dup_rep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS-2 chain edges: the identical bucket/signature/projection
+    machinery as pass 1 (same seeds, same bits — the contraction is
+    what changes adjacency), run over the boundary corpus with the wide
+    NEAR_DUP_P2_W window. Emitted edges connect real MEMBERS (cosine
+    verified member-to-member); the caller contracts endpoints to their
+    pass-1 canonicals for the components pass."""
+    return chain_edges_arrow(
+        near_dup_p2_corpus(spark, sf_dir), ["t", "bucket"],
+        NEAR_DUP_P2_W, NEAR_DUP_COS,
+    )
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,15 +947,19 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of C(6587,2) ≈ 21.7 M). Verified chain edges (cosine >=
     NEAR_DUP_COS) from all tables feed one connected-components pass.
 
-    Pass 2 — each pass-1 family contracts to its canonical member and
-    the SAME chain machinery reruns over reps only (near_dup_rep_edges):
+    Pass 2 — each (t, bucket, pass-1 family) contracts to its BOUNDARY
+    rows (first + last member in the chain order, plus the canonical —
+    see p2_boundary_rows) and the same chain machinery reruns over
+    those rows with the wide NEAR_DUP_P2_W window (near_dup_rep_edges):
     a true pair whose chain segments were split by interleaved clone
-    mass (the r8 diagnosed misses: shared bucket, rank distance 25-382)
-    re-meets once the interleaving families collapse to single reps.
-    Components over pass-2 edges relabel the pass-1 assignment (the
-    contraction is exact for min-label: a canonical IS the min id of
-    its family, so min over reachable reps = min over reachable
-    members); pass-1 singletons that gain a pass-2 edge join the
+    mass (the diagnosed misses: shared bucket, rank distance 25-382)
+    re-meets once the interleaving families collapse to boundary rows,
+    and verification happens on real MEMBER vectors — closing both
+    residual r9 miss modes (reps-too-far and rep-cosine-fails,
+    DIAG_near_dup_miss_sf10heavy_r9.json). Pass-2 edges contract to
+    pass-1 canonicals and components over them relabel the pass-1
+    assignment (exact for min-label: a canonical IS the min id of its
+    family); pass-1 singletons that gain a pass-2 edge join the
     assignment. Equals the closure over (pass-1 ∪ pass-2) edges — the
     DuckDB oracle computes exactly that closure, structurally
     differently. Recall is measured by near_dup_recall_eval, not
@@ -891,15 +970,36 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     an upsert invalidates).
 
     Scale shape: two chain passes (one shuffle on (t, bucket) each —
-    the second over reps only), two bounded min-label propagations, one
-    narrow relabel join."""
+    the second over boundary rows only, its width occupancy-capped in
+    the kernel), two bounded min-label propagations, narrow relabel
+    joins."""
     from .components import connected_components
 
     def build() -> DataFrame:
         p1 = near_dup_p1_clusters(spark, sf_dir)
-        cc2 = connected_components(
-            near_dup_rep_edges(spark, sf_dir), max_iter=64
+        # pass-2 edges connect MEMBERS; contract each endpoint to its
+        # pass-1 canonical (absent -> itself: pass-1 singletons) so the
+        # components pass runs over canonicals — exact for min-label
+        # (canonical = min id of its family); self-loops drop out
+        e2 = near_dup_rep_edges(spark, sf_dir)
+        e2c = (
+            e2.join(
+                p1.select(F.col("vec_id").alias("src"),
+                          F.col("canonical_id").alias("__cs")),
+                "src", "left",
+            )
+            .join(
+                p1.select(F.col("vec_id").alias("dst"),
+                          F.col("canonical_id").alias("__cd")),
+                "dst", "left",
+            )
+            .select(
+                F.coalesce(F.col("__cs"), F.col("src")).alias("src"),
+                F.coalesce(F.col("__cd"), F.col("dst")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
         )
+        cc2 = connected_components(e2c, max_iter=64)
         remap = cc2.select(
             F.col("node").alias("__c"), F.col("component").alias("__sc")
         )
@@ -920,10 +1020,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return relabeled.unionByName(newly)
 
-    # _v2: the two-pass answer differs from the r7/r8 single-pass one,
-    # so it must not reuse a stale same-fingerprint store.
+    # _v3: the boundary-row pass-2 answer differs from both the r7/r8
+    # single-pass and the first-cut r9 canonical-rep two-pass, so it
+    # must not reuse a stale same-fingerprint store.
     return index_store.stored_df(
-        spark, _emb_table(sf_dir), f"near_dup_clusters_v2{_w_suffix()}", build
+        spark, _emb_table(sf_dir), f"near_dup_clusters_v3{_w2_suffix()}",
+        build,
     )
 
 
@@ -1087,11 +1189,38 @@ def _chain_table_sql(t: int, src: str = "nb", name: str = "rt") -> str:
 )"""
 
 
-def _chain_edges_sql(t: int, name: str = "rt") -> str:
+def _chain_edges_sql(t: int, name: str = "rt", w: int | None = None) -> str:
+    w = NEAR_DUP_CHAIN_W if w is None else w
     return f"""  SELECT a.vec_id AS va, b2.vec_id AS vb
   FROM {name}{t} a JOIN {name}{t} b2
-    ON a.bucket = b2.bucket AND b2.rn - a.rn BETWEEN 1 AND {NEAR_DUP_CHAIN_W}
+    ON a.bucket = b2.bucket AND b2.rn - a.rn BETWEEN 1 AND {w}
   WHERE ({_vdot_sql('a.v', 'b2.v')}) / (a.norm * b2.norm) >= {NEAR_DUP_COS}"""
+
+
+def _p2_table_sql(t: int) -> str:
+    """Pass-2 ranked BOUNDARY rows for table t: per (bucket, pass-1
+    family) the first + last chain-order member plus the canonical,
+    re-ranked within the bucket (mirrors p2_boundary_rows)."""
+    return f"""rp{t} AS (
+  SELECT vec_id, v, norm, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY sig, proj, vec_id) AS rn
+  FROM (
+    SELECT vec_id, v, norm, bucket, sig, proj, fam,
+           ROW_NUMBER() OVER (PARTITION BY bucket, fam
+                              ORDER BY sig, proj, vec_id) AS rf,
+           COUNT(*) OVER (PARTITION BY bucket, fam) AS cf
+    FROM (
+      SELECT nb.vec_id, nb.v, nb.norm,
+             {_bucket_sql(t, elem="nb.v", bits_expr="params.bits")} AS bucket,
+             {_rot_sig_sql(t)} AS sig,
+             {_chain_proj_sql(t)} AS proj,
+             COALESCE(p1c.canonical_id, nb.vec_id) AS fam
+      FROM nb LEFT JOIN p1c ON nb.vec_id = p1c.vec_id
+      CROSS JOIN params
+    )
+  ) WHERE rf = 1 OR rf = cf OR vec_id = fam
+)"""
 
 
 # NOTE: _PARAMS_SQL / _ND_CORPUS_SQL / _ND_CLUSTERS_SQL are consumed by
@@ -1119,24 +1248,20 @@ _ND_CLUSTERS_SQL = (
   UNION
   SELECT e.src, rr.target FROM p1e e JOIN reach1 rr ON e.dst = rr.node
 ), p1c AS MATERIALIZED (
-  SELECT node AS vec_id, MIN(target) AS canonical_id
-  FROM reach1 GROUP BY node
-), repsb AS MATERIALIZED (
   -- MATERIALIZED is load-bearing on every multiply-referenced CTE
   -- above a recursive closure: DuckDB 1.0 inlines CTEs per reference,
-  -- and the 8 rp{t} self-join scans of repsb would each re-run the
-  -- whole pass-1 recursion (measured: 10+ CPU-minutes at sf0.001
-  -- instead of seconds)
-  SELECT vec_id, v, norm FROM nb
-  WHERE vec_id NOT IN (SELECT vec_id FROM p1c WHERE vec_id <> canonical_id)
+  -- and the 8 rp{t} self-join scans would each re-run the whole
+  -- pass-1 recursion (measured: 10+ CPU-minutes at sf0.001 instead of
+  -- seconds)
+  SELECT node AS vec_id, MIN(target) AS canonical_id
+  FROM reach1 GROUP BY node
 ),
 """
-    + ",\n".join(
-        _chain_table_sql(t, src="repsb", name="rp") for t in range(N_TABLES)
-    )
+    + ",\n".join(_p2_table_sql(t) for t in range(N_TABLES))
     + ", e2 AS MATERIALIZED (\n"
     + "\n  UNION ALL\n".join(
-        _chain_edges_sql(t, name="rp") for t in range(N_TABLES)
+        _chain_edges_sql(t, name="rp", w=NEAR_DUP_P2_W)
+        for t in range(N_TABLES)
     )
     + """
 ), nd_edges AS MATERIALIZED (

@@ -120,12 +120,116 @@ def main() -> None:
         1 for d in pairs if not any(d["same_bucket"]))
     shared_dists = [min(x for x in d["rank_dist"] if x is not None)
                     for d in pairs if any(d["same_bucket"])]
+
+    # ---- pass-2 view (r9): the same analysis over the REP corpus ----
+    # Separates the two remaining miss mechanisms after the two-pass
+    # build: the endpoints' pass-1 family canonicals are still > W apart
+    # in the rep chain order, versus adjacent-but-REP-COSINE-fails (the
+    # canonical members of two families can be far apart even when some
+    # cross-family member pair is cos>=0.999 — drift chains put the
+    # min-id member at a far end).
+    p1 = S.near_dup_p1_clusters(spark, sf_dir).select(
+        "vec_id", "canonical_id"
+    )
+    m_end = missed.select("vec_a", "vec_b")
+    reps_of = (
+        m_end.join(p1.withColumnRenamed("vec_id", "vec_a")
+                   .withColumnRenamed("canonical_id", "ca1"), "vec_a", "left")
+        .join(p1.withColumnRenamed("vec_id", "vec_b")
+              .withColumnRenamed("canonical_id", "cb1"), "vec_b", "left")
+        .select(
+            "vec_a", "vec_b",
+            F.coalesce("ca1", "vec_a").alias("ra_id"),
+            F.coalesce("cb1", "vec_b").alias("rb_id"),
+        )
+    ).cache()
+    rep_corpus = S.near_dup_rep_corpus(spark, sf_dir)
+    rv = rep_corpus.select(
+        F.col("vec_id").alias("rid"), F.col("v").alias("rv"),
+        F.col("norm").alias("rn_"),
+    )
+    rep_cos = (
+        reps_of
+        .join(rv.withColumnRenamed("rid", "ra_id")
+              .withColumnRenamed("rv", "va").withColumnRenamed("rn_", "na"),
+              "ra_id")
+        .join(rv.withColumnRenamed("rid", "rb_id")
+              .withColumnRenamed("rv", "vb").withColumnRenamed("rn_", "nb"),
+              "rb_id")
+        .select(
+            "vec_a", "vec_b", "ra_id", "rb_id",
+            (S.dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("rep_cos"),
+        )
+        .collect()
+    )
+    p2_pair = {
+        (r.vec_a, r.vec_b): {
+            "rep_a": r.ra_id, "rep_b": r.rb_id,
+            "rep_cos": round(r.rep_cos, 6),
+            "rep_same_bucket": [], "rep_rank_dist": [],
+        }
+        for r in rep_cos
+    }
+    for t in range(S.N_TABLES):
+        rranked = rep_corpus.select(
+            "vec_id",
+            S.sign_bucket(F.col("v"), t, bits).alias("bucket"),
+            S._rot_sig(F.col("v"), t).alias("__sig"),
+            S._chain_proj(F.col("v"), F.col("norm"), t).alias("__proj"),
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy("__sig", "__proj",
+                                                     "vec_id")
+            ),
+        ).select("vec_id", "bucket", "rn")
+        rows = (
+            reps_of
+            .join(rranked.select(F.col("vec_id").alias("ra_id"),
+                                 F.col("bucket").alias("ba"),
+                                 F.col("rn").alias("ra")), "ra_id")
+            .join(rranked.select(F.col("vec_id").alias("rb_id"),
+                                 F.col("bucket").alias("bb"),
+                                 F.col("rn").alias("rb")), "rb_id")
+            .select("vec_a", "vec_b", "ba", "bb", "ra", "rb")
+            .collect()
+        )
+        for r in rows:
+            d = p2_pair.get((r.vec_a, r.vec_b))
+            if d is None:
+                continue
+            same = r.ba == r.bb
+            d["rep_same_bucket"].append(same)
+            d["rep_rank_dist"].append(abs(r.ra - r.rb) if same else None)
+    for d in pairs:
+        d.update(p2_pair.get((d["vec_a"], d["vec_b"]), {}))
+    n_rep_cos_fail_adjacent = sum(
+        1 for d in pairs
+        if d.get("rep_cos") is not None and d["rep_cos"] < S.NEAR_DUP_COS
+        and any(x is not None and x <= S.NEAR_DUP_CHAIN_W
+                for x in d.get("rep_rank_dist", []))
+    )
+    n_rep_cos_fail = sum(
+        1 for d in pairs
+        if d.get("rep_cos") is not None and d["rep_cos"] < S.NEAR_DUP_COS
+    )
+    n_rep_far = sum(
+        1 for d in pairs
+        if d.get("rep_cos") is not None and d["rep_cos"] >= S.NEAR_DUP_COS
+        and not any(x is not None and x <= S.NEAR_DUP_CHAIN_W
+                    for x in d.get("rep_rank_dist", []))
+    )
+
     result = {
         "sf_dir": sf_dir,
         "n_missed": n_missed,
         "n_all_tables_bucket_miss": n_bucket_miss_all,
         "n_shared_bucket_but_far": len(shared_dists),
         "min_rank_dist_when_shared": shared_dists,
+        "n_rep_cos_fail": n_rep_cos_fail,
+        "n_rep_cos_fail_adjacent": n_rep_cos_fail_adjacent,
+        "n_rep_far_but_cos_ok": n_rep_far,
         "chain_w": S.NEAR_DUP_CHAIN_W,
         "n_tables": S.N_TABLES,
         "pairs": pairs,
