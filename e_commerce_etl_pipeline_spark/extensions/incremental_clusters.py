@@ -125,56 +125,51 @@ def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
 
 
 def _new_member_edges(
-    base_corpus: DataFrame, batch_corpus: DataFrame, bits: int
+    spark: SparkSession, sf_dir: str, batch_corpus: DataFrame, bits: int
 ) -> DataFrame:
-    """Pass-1 increment: cosine-verified chain edges over ONLY the
-    (table, bucket) pairs the batch touches, in the same full-bucket
-    chain order a rebuild would use, formed by the SAME Arrow kernel
-    the full build uses (r9 — the former window + explode + rank-join
-    localCheckpointed the affected rows WIDE (v + signatures), the
-    dominant per-batch cost at sf10). Old-old edges inside an affected
-    bucket are emitted too: they are cosine-verified, so they merge
-    nothing a rebuild wouldn't (already-co-clustered endpoints contract
-    to self-loops downstream)."""
-    nt = _tabled_all(batch_corpus, True, bits)
+    """Pass-1 increment: cosine-verified chain edges involving >=1
+    batch vector, over ONLY the (table, bucket) pairs the batch
+    touches, in the same full-bucket chain order a rebuild would use —
+    formed by the SAME Arrow kernel the full build uses (r9: the former
+    window + explode + rank-join localCheckpointed the affected rows
+    WIDE (v + signatures), the dominant per-batch cost at sf10). The
+    new-member restriction is applied AFTER the kernel (two broadcast
+    batch-id marks on the narrow edge list) and is load-bearing twice:
+    old-old adjacencies are redundant under pure insertion (they were
+    enumerated by the prior build — the provable pass-1 direction), and
+    keeping them would flood the contracted components result with
+    untouched families, turning the stage-2 touched-family scope into
+    nearly the whole corpus (measured 40-74 s/batch instead of
+    seconds)."""
+    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits)).drop(
+        "__new"
+    )
     # affected buckets: a batch is small relative to the corpus, so the
     # (table, bucket) list broadcasts and the base-side filter is a
-    # broadcast semi-join (no shuffle of the base corpus). Chain keys
-    # attach after the filter — only affected rows pay for them.
+    # broadcast semi-join over the PERSISTED keyed corpus (no wide
+    # re-scan per batch). Caller contract: ``bits`` equals the cached
+    # frame's tier — the stream refuses on a tier change before calling.
     touched = nt.select("t", "bucket").distinct()
-    bt = _tabled_all(base_corpus, False, bits).join(
+    bt = S.nd_keyed_corpus(spark, sf_dir).join(
         F.broadcast(touched), ["t", "bucket"], "left_semi"
     )
-    members = S.with_chain_keys(bt.unionByName(nt))
-    return S.chain_edges_arrow(
+    members = bt.unionByName(nt)
+    edges = S.chain_edges_arrow(
         members, ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS
     )
-
-
-def _driver_union_find(spark: SparkSession, graph: DataFrame) -> DataFrame:
-    """Exact min-label components for a batch-sized edge list, computed
-    with one collect + a path-compressing union-find whose root is
-    always the MIN node id — identical semantics to
-    components.connected_components (component = min reachable id)."""
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for src, dst in graph.collect():
-        parent.setdefault(src, src)
-        parent.setdefault(dst, dst)
-        ra, rb = find(src), find(dst)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo  # min id stays the root -> min-label
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node bigint, component bigint")
+    batch_ids = batch_corpus.select("vec_id")
+    ns = batch_ids.withColumnRenamed("vec_id", "src").withColumn(
+        "__ns", F.lit(True)
+    )
+    nd = batch_ids.withColumnRenamed("vec_id", "dst").withColumn(
+        "__nd", F.lit(True)
+    )
+    return (
+        edges.join(F.broadcast(ns), "src", "left")
+        .join(F.broadcast(nd), "dst", "left")
+        .filter(F.col("__ns").isNotNull() | F.col("__nd").isNotNull())
+        .select("src", "dst")
+    )
 
 
 # driver union-find cutoff for the contracted graph; above it the
@@ -193,6 +188,7 @@ def _grow_assignment(
     edges: DataFrame,
     batch_corpus: DataFrame,
     driver_cc_max_edges: int,
+    batch_id_set: set[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Grow ``prior`` (vec_id, canonical_id) with cosine-verified
     ``edges`` (src, dst — endpoints may be batch members, prior
@@ -203,66 +199,138 @@ def _grow_assignment(
     graph — exact, not an approximation); the components pass therefore
     runs on a graph sized by the BATCH, never the corpus; the only
     corpus-sized work is one broadcast relabel scan of the narrow
-    prior. Returns (grown assignment, cc) — ``cc`` is the contracted
-    components result, exposed so the caller can diff rep churn without
-    recomputing it. The grown assignment covers prior nodes, the whole
-    batch corpus, AND any prior-absent old vector that gained an edge
-    (an old pass-1 singleton absorbed by the batch — dropping it would
-    leave an accepted vector unassigned)."""
-    edges = edges.localCheckpoint()
+    prior. Returns (grown assignment, old touched node ids) — the
+    latter is what the caller's stage-2 churn scope needs. The grown
+    assignment covers prior nodes, the whole batch corpus, AND any
+    prior-absent old vector that gained an edge (an old pass-1
+    singleton absorbed by the batch — dropping it would leave an
+    accepted vector unassigned).
+
+    Caller contract: ``edges`` must already be materialized
+    (localCheckpoint) — it is counted and consumed repeatedly here.
+
+    Fast path (edges <= driver_cc_max_edges AND ``batch_id_set``
+    given): the ENTIRE contracted-components stage runs driver-side
+    from two bounded collects — the edge list and the touched prior
+    canonicals — with contraction, union-find, remap and the non-prior
+    assignments all computed locally (r9, VERDICT r8 #4: the former
+    DataFrame formulation spent its time in per-batch checkpoint jobs
+    and contraction-join plan layers, not in tasks). The same
+    bounded-metadata class as the repo's top-k collects. Above the
+    threshold (huge backfill batches) everything stays distributed."""
+    n_edges = edges.count()
     batch_ids = batch_corpus.select("vec_id")
-    old_nodes = (
-        edges.select(F.col("src").alias("vec_id"))
-        .unionByName(edges.select(F.col("dst").alias("vec_id")))
-        .join(batch_ids, "vec_id", "left_anti")
-        .distinct()
-    )
-    # tiny -> broadcast; the narrow prior streams map-side (no shuffle);
-    # checkpointed: it feeds both contractions and the remap
-    old_cid = prior.join(F.broadcast(old_nodes), "vec_id").select(
-        "vec_id", F.col("canonical_id").alias("__cid")
-    ).localCheckpoint()
-
-    def _contract(e: DataFrame, end: str) -> DataFrame:
-        m = old_cid.select(
-            F.col("vec_id").alias(end), F.col("__cid").alias(f"__c_{end}")
+    if n_edges <= driver_cc_max_edges and batch_id_set is not None:
+        edge_rows = [(r[0], r[1]) for r in edges.collect()]
+        old_ids = sorted(
+            {e for pair in edge_rows for e in pair} - batch_id_set
         )
-        return e.join(F.broadcast(m), end, "left").withColumn(
-            end, F.coalesce(F.col(f"__c_{end}"), F.col(end))
-        ).drop(f"__c_{end}")
+        if old_ids:
+            old_df = spark.createDataFrame(
+                [(i,) for i in old_ids], "vec_id bigint"
+            )
+            cid_of = {
+                r[0]: r[1]
+                for r in prior.join(
+                    F.broadcast(old_df), "vec_id"
+                ).collect()
+            }
+        else:
+            cid_of = {}
 
-    contracted = _contract(_contract(edges, "src"), "dst")
-    # isolated new vectors (no edge at all) must still appear in the
-    # assignment: self-edges register them as singleton components.
-    # Deliberate asymmetry vs the full build (which, like
-    # dedup_clusters, omits edge-less singletons): an ingest pipeline
-    # needs every ACCEPTED vector assigned — callers diffing against a
-    # rebuild should expect the incremental assignment ⊇ rebuild on
-    # exactly these singleton rows.
-    selves = batch_corpus.select(
-        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
-    )
-    graph = contracted.unionByName(selves)
-    # Size-adaptive components (same discipline as operators.skew's
-    # decision): the contracted graph is batch-sized by construction
-    # (<= N_TABLES*W*|batch corpus| edges + |batch corpus| selves), so
-    # for ordinary ingest batches a driver union-find replaces ~6
-    # scheduler rounds of iterative min-label CC with ONE bounded
-    # collect — the same bounded-metadata class as the repo's top-k
-    # collects. Above the threshold (huge backfill batches) it stays
-    # distributed. edges is checkpointed, so the count is free.
-    if edges.count() <= driver_cc_max_edges:
-        cc = _driver_union_find(spark, graph)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        def union(a: int, b: int) -> None:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min id stays the root -> min-label
+
+        for s, d in edge_rows:
+            union(cid_of.get(s, s), cid_of.get(d, d))
+        for b in batch_id_set:
+            parent.setdefault(b, b)
+
+        remap_rows = []
+        for c in set(cid_of.values()):
+            parent.setdefault(c, c)
+            r = find(c)
+            if r != c:
+                remap_rows.append((c, r))
+        non_prior_rows = [
+            (b, find(b)) for b in sorted(batch_id_set)
+        ] + [
+            (o, find(cid_of.get(o, o)))
+            for o in old_ids if o not in cid_of  # absorbed old singletons
+        ]
+        remap = spark.createDataFrame(
+            remap_rows or [], "__old bigint, __new bigint"
+        )
+        non_prior = spark.createDataFrame(
+            non_prior_rows, "vec_id bigint, canonical_id bigint"
+        )
+        old_nodes = spark.createDataFrame(
+            [(i,) for i in old_ids] or [], "vec_id bigint"
+        )
     else:
-        cc = connected_components(
-            graph, max_iter=64
-        )  # (node, component) over the contracted graph only
-    cc = cc.localCheckpoint()
+        old_nodes = (
+            edges.select(F.col("src").alias("vec_id"))
+            .unionByName(edges.select(F.col("dst").alias("vec_id")))
+            .join(batch_ids, "vec_id", "left_anti")
+            .distinct()
+        )
+        # tiny -> broadcast; the narrow prior streams map-side (no
+        # shuffle); checkpointed: it feeds both contractions + the remap
+        old_cid = prior.join(F.broadcast(old_nodes), "vec_id").select(
+            "vec_id", F.col("canonical_id").alias("__cid")
+        ).localCheckpoint()
 
-    # touched prior canonicals -> their merged component (tiny)
-    remap = cc.join(
-        old_cid.select(F.col("__cid").alias("node")).distinct(), "node"
-    ).select(F.col("node").alias("__old"), F.col("component").alias("__new"))
+        def _contract(e: DataFrame, end: str) -> DataFrame:
+            m = old_cid.select(
+                F.col("vec_id").alias(end),
+                F.col("__cid").alias(f"__c_{end}"),
+            )
+            return e.join(F.broadcast(m), end, "left").withColumn(
+                end, F.coalesce(F.col(f"__c_{end}"), F.col(end))
+            ).drop(f"__c_{end}")
+
+        contracted = _contract(_contract(edges, "src"), "dst")
+        # isolated new vectors (no edge at all) must still appear in
+        # the assignment: self-edges register them as singleton
+        # components. Deliberate asymmetry vs the full build (which,
+        # like dedup_clusters, omits edge-less singletons): an ingest
+        # pipeline needs every ACCEPTED vector assigned — callers
+        # diffing against a rebuild should expect the incremental
+        # assignment ⊇ rebuild on exactly these singleton rows.
+        selves = batch_corpus.select(
+            F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")
+        )
+        cc = connected_components(
+            contracted.unionByName(selves), max_iter=64
+        ).localCheckpoint()
+        remap = cc.join(
+            old_cid.select(F.col("__cid").alias("node")).distinct(), "node"
+        ).select(
+            F.col("node").alias("__old"), F.col("component").alias("__new")
+        ).filter(F.col("__old") != F.col("__new"))
+        non_prior = (
+            cc.select(
+                F.col("node").alias("vec_id"),
+                F.col("component").alias("canonical_id"),
+            )
+            .join(prior.select("vec_id"), "vec_id", "left_anti")
+        )
+
     relabeled = prior.join(
         F.broadcast(remap), prior.canonical_id == F.col("__old"), "left"
     ).select(
@@ -271,16 +339,7 @@ def _grow_assignment(
             "canonical_id"
         ),
     )
-    # everything cc assigned that prior didn't know: batch members plus
-    # prior-absent old singletons that gained an edge
-    non_prior = (
-        cc.select(
-            F.col("node").alias("vec_id"),
-            F.col("component").alias("canonical_id"),
-        )
-        .join(prior.select("vec_id"), "vec_id", "left_anti")
-    )
-    return relabeled.unionByName(non_prior), cc
+    return relabeled.unionByName(non_prior), old_nodes
 
 
 def incremental_near_dup_update(
@@ -351,7 +410,6 @@ def incremental_near_dup_update(
                 "update requires disjoint ids"
             )
 
-    base_corpus = S._near_dup_corpus(spark, sf_dir)
     # hash granularity pinned to the BASE corpus: incremental batches
     # must not re-tier bits mid-stream (rebuild when crossing a step)
     if bits is None:
@@ -364,7 +422,7 @@ def incremental_near_dup_update(
     # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
     # window job runs once across both growth stages
     new_edges = _new_member_edges(
-        base_corpus.select("vec_id", "v", "norm"), batch_corpus, bits
+        spark, sf_dir, batch_corpus, bits
     ).localCheckpoint()
     LAST_TIMINGS["p1_edges"] = time.time() - _t
     _t = time.time()
@@ -373,9 +431,15 @@ def incremental_near_dup_update(
     if prior is None:
         prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
 
+    # batch ids collected ONCE for both growth stages' driver fast
+    # path (micro-batch sized; a huge backfill pays one big collect but
+    # its edge count routes it to the distributed path anyway)
+    batch_id_set = {r[0] for r in batch_ids.collect()}
+
     # ---- stage 1: grow the pass-1 assignment -------------------------
-    p1_grown, cc1 = _grow_assignment(
-        spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges
+    p1_grown, touched_old = _grow_assignment(
+        spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges,
+        batch_id_set=batch_id_set,
     )
     p1_grown = p1_grown.localCheckpoint()
     LAST_TIMINGS["grow_p1"] = time.time() - _t
@@ -386,13 +450,11 @@ def incremental_near_dup_update(
     # (similarity.p2_boundary_rows). A family's boundary rows change
     # only when ITS membership changes, so the affected buckets are
     # those holding any member of a TOUCHED family: every old cc1 node
+    # touched old node (returned by the stage-1 growth)
     # is a prior canonical or prior-absent singleton of a family the
     # batch edges reached (gaining members or merging either way), and
     # the batch brings its own new families. Touched family mass is
     # batch-scale (bounded by batch size x family sizes).
-    touched_old = cc1.select(F.col("node").alias("vec_id")).join(
-        batch_ids, "vec_id", "left_anti"
-    ).distinct()
     touched_members = (
         prior_p1.join(
             F.broadcast(
@@ -403,45 +465,41 @@ def incremental_near_dup_update(
         .unionByName(touched_old)  # singleton families aren't in prior_p1
         .distinct()
     )
-    churned_vecs = (
-        base_corpus.select("vec_id", "v", "norm")
-        .join(F.broadcast(touched_members), "vec_id")
-        .unionByName(batch_corpus.select("vec_id", "v", "norm"))
-    )
+    keyed = S.nd_keyed_corpus(spark, sf_dir)
+    batch_keyed = S.with_chain_keys(
+        _tabled_all(batch_corpus, True, bits)
+    ).drop("__new")
     affected = (
-        S.tabled_buckets(churned_vecs, bits).select("t", "bucket").distinct()
+        keyed.join(F.broadcast(touched_members), "vec_id", "left_semi")
+        .select("t", "bucket")
+        .unionByName(batch_keyed.select("t", "bucket"))
+        .distinct()
     )
     # current members of affected buckets with their grown pass-1 family
     # (small-side-first lookups so the corpus-sized assignment is never
     # shuffled), contracted to boundary rows, chained with the WIDE
     # pass-2 window — the same kernel + occupancy cap as the full build
-    aff_keyed = S.with_chain_keys(
-        S.tabled_buckets(
-            base_corpus.select("vec_id", "v", "norm").unionByName(
-                batch_corpus.select("vec_id", "v", "norm")
-            ),
-            bits,
-        )
+    aff_keyed = (
+        keyed.unionByName(batch_keyed)
         .join(F.broadcast(affected), ["t", "bucket"], "left_semi")
-    ).localCheckpoint()
-    aff_ids = aff_keyed.select("vec_id").distinct()
-    fam_map = (
-        p1_grown.join(F.broadcast(aff_ids), "vec_id", "left_semi")
-        .withColumnRenamed("canonical_id", "__fam")
     )
-    keyed_fam = aff_keyed.join(F.broadcast(fam_map), "vec_id", "left") \
-        .withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    keyed_fam = aff_keyed.join(
+        p1_grown.withColumnRenamed("canonical_id", "__fam"), "vec_id", "left"
+    ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
     p2_edges = S.chain_edges_arrow(
         S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
         S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
     )
+    # materialized HERE so the stage timings tell the truth: this is
+    # where the boundary windows + wide kernel actually run
+    all_edges = new_edges.unionByName(p2_edges).localCheckpoint()
     LAST_TIMINGS["p2_edges"] = time.time() - _t
     _t = time.time()
 
     # ---- final: grow the prior final assignment with both edge sets --
     grown, _ = _grow_assignment(
-        spark, prior, new_edges.unionByName(p2_edges), batch_corpus,
-        driver_cc_max_edges,
+        spark, prior, all_edges, batch_corpus, driver_cc_max_edges,
+        batch_id_set=batch_id_set,
     )
     LAST_TIMINGS["grow_final"] = time.time() - _t
     return (grown, p1_grown) if return_p1 else grown

@@ -801,21 +801,43 @@ def chain_edges_arrow(
     return part.mapInPandas(gen, "src long, dst long")
 
 
+def nd_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tabled + chain-keyed near-dup corpus (vec_id, v, norm, t,
+    bucket, __sig, __proj), PERSISTED per corpus snapshot
+    (index_store.cached_df). Every near-dup stage — both full-build
+    passes and both incremental stages — filters or chains over exactly
+    this frame; without the cache each stage re-pays the wide embedding
+    scan + twin synthesis + 4-table explode + signature build
+    (measured: the dominant fixed cost of an incremental batch). At
+    deployment scale this is the documented narrow-index trade: persist
+    the derived frame (or lay the table out bucket-partitioned) and
+    every maintenance operation becomes a pruned read."""
+    bits = lsh_bits(corpus_count(spark, sf_dir))
+
+    def build() -> DataFrame:
+        base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
+        return with_chain_keys(tabled_buckets(base, bits))
+
+    return index_store.cached_df(
+        spark, _emb_table(sf_dir), "nd_keyed_corpus", build
+    )
+
+
 def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified chain-link candidate edges — the build stage of
     near_dup_clusters, exposed so plan evidence (docs/PLANS.md) can
     show the BUILD plan rather than the stored artifact's two-node
     scan: ONE exploded projection derives every table's bucket from a
-    single wide scan, then chain_edges_arrow forms and verifies the
-    W-successor pairs in a single Arrow pass (one shuffle on
-    (t, bucket), in-partition sort on the chain order, shifted-array
-    cosines). Candidates ≤ N_TABLES·W·n at any bucket occupancy — see
-    near_dup_clusters for the full design; the emitted edge set is
-    pinned by the DuckDB recursive-CTE oracle."""
-    base = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
-    bits = lsh_bits(corpus_count(spark, sf_dir))
-    r = with_chain_keys(tabled_buckets(base, bits))
-    return chain_edges_arrow(r, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS)
+    single wide scan (cached — nd_keyed_corpus), then chain_edges_arrow
+    forms and verifies the W-successor pairs in a single Arrow pass
+    (one shuffle on (t, bucket), in-partition sort on the chain order,
+    shifted-array cosines). Candidates ≤ N_TABLES·W·n at any bucket
+    occupancy — see near_dup_clusters for the full design; the emitted
+    edge set is pinned by the DuckDB recursive-CTE oracle."""
+    return chain_edges_arrow(
+        nd_keyed_corpus(spark, sf_dir), ["t", "bucket"],
+        NEAR_DUP_CHAIN_W, NEAR_DUP_COS,
+    )
 
 
 def _w_suffix() -> str:
@@ -909,9 +931,7 @@ def near_dup_p2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the member rows — exactly where the wide pass-2 chain
     width pays for itself; on clean corpora families are singletons and
     the occupancy cap in chain_edges_arrow keeps the wide width free."""
-    corpus = _near_dup_corpus(spark, sf_dir).select("vec_id", "v", "norm")
-    bits = lsh_bits(corpus_count(spark, sf_dir))
-    keyed = with_chain_keys(tabled_buckets(corpus, bits))
+    keyed = nd_keyed_corpus(spark, sf_dir)
     p1 = near_dup_p1_clusters(spark, sf_dir)
     fam = keyed.join(
         p1.withColumnRenamed("canonical_id", "__fam"), "vec_id", "left"
