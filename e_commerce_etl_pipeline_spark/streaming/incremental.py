@@ -178,11 +178,15 @@ def near_dup_index_stream(
 
     ``work_dir`` holds the growing corpus (``embeddings.parquet``) and
     the maintained assignment under ``near_dup_assignment.parquet/v=<n>``
-    VERSION directories (seeded from the full build as v=0 on first
-    use); readers take the highest version that carries a ``_SUCCESS``
-    marker (read_assignment), so a crash mid-write can never expose a
-    partial table — the same keep-latest-complete discipline as
-    operators.index_store. Per batch, in this order:
+    VERSION directories, with the PASS-1 assignment versioned alongside
+    under ``near_dup_p1.parquet/v=<n>`` (r9 — the two-pass updater
+    diffs rep churn against it; p1 is written FIRST each batch, so a
+    complete final version implies its p1 sibling). Both seed from the
+    full build as v=0 on first use; readers take the highest FINAL
+    version that carries a ``_SUCCESS`` marker (read_assignment), so a
+    crash mid-write can never expose a partial table — the same
+    keep-latest-complete discipline as operators.index_store. Per
+    batch, in this order:
 
     1. grow the assignment from the CURRENT corpus + latest complete
        assignment version (the batch is not yet in the corpus — the
