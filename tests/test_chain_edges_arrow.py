@@ -129,3 +129,21 @@ def test_kernel_never_links_across_groups(spark):
     assert edges, "fixture should produce within-group edges"
     for r in edges:
         assert r["src"] // 10_000 == r["dst"] // 10_000
+
+
+def test_wide_width_equals_group_bounded_width(spark):
+    """The r9 occupancy cap: a width far beyond every group's size must
+    emit exactly the edges of width = max group size - 1 (no pair can
+    span a group boundary, so the extra iterations are skipped, not
+    just filtered) — what makes the wide pass-2 default free on
+    small-bucket corpora."""
+    df = _corpus(spark, n_groups=5, per_group=9)
+    wide = set(
+        (r["src"], r["dst"])
+        for r in chain_edges_arrow(df, ["grp"], 1000, THRESHOLD).collect()
+    )
+    bounded = set(
+        (r["src"], r["dst"])
+        for r in chain_edges_arrow(df, ["grp"], 8, THRESHOLD).collect()
+    )
+    assert wide == bounded and len(wide) > 0
