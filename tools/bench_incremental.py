@@ -10,7 +10,14 @@ stored max id, disjoint per batch.
 
 Prints ONE JSON line; optional argv[3] writes it to a file.
 
+With a 4th arg ``append``, each batch is APPENDED to a working copy of
+the corpus between updates — the streaming shape, where the corpus
+fingerprint changes per batch and the persisted keyed corpus
+(nd_keyed_corpus) must rebuild, the dominant stream-mode overhead the
+fixed-corpus mode amortizes away.
+
 Usage: python tools/bench_incremental.py [SF_DIR] [N_BATCHES] [OUT_JSON]
+                                         [append]
 """
 
 from __future__ import annotations
@@ -40,7 +47,18 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     out_file = sys.argv[3] if len(sys.argv) > 3 else None
+    append_mode = len(sys.argv) > 4 and sys.argv[4] == "append"
     spark = get_spark("bench_incremental")
+
+    if append_mode:
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="inc_append_")
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .write.parquet(f"{work}/embeddings.parquet")
+        )
+        sf_dir, src_dir = work, sf_dir
 
     max_id = S.corpus_max_vec_id(spark, sf_dir)
     seeds = (
@@ -84,12 +102,26 @@ def main() -> None:
             "stages": {k: round(v, 3) for k, v in IC.LAST_TIMINGS.items()},
         })
         prior, prior_p1 = grown, grown_p1
+        if append_mode:
+            # the streaming step 3: the batch joins the stored corpus,
+            # invalidating the keyed-corpus cache for the next batch
+            t_a = time.time()
+            emb_type = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .schema["embedding"].dataType
+            )
+            batch.select(
+                F.col("vec_id"),
+                F.col("embedding").cast(emb_type).alias("embedding"),
+            ).write.mode("append").parquet(f"{sf_dir}/embeddings.parquet")
+            per_batch[-1]["append_sec"] = round(time.time() - t_a, 3)
         batches.append(batch)
         print(f"# batch {b}: {sec:.2f}s assigned {n_assigned}",
               file=sys.stderr, flush=True)
 
     out = {
-        "metric": "near_dup_incremental_chained",
+        "metric": ("near_dup_incremental_append"
+                   if append_mode else "near_dup_incremental_chained"),
         "sf_dir": sf_dir,
         "corpus_vecs": S.corpus_count(spark, sf_dir),
         "prior_assignment_rows": n_prior,
@@ -99,7 +131,7 @@ def main() -> None:
         "median_sec": sorted(p["sec"] for p in per_batch)[len(per_batch) // 2],
     }
     from tools.provenance import sf_provenance
-    out["provenance"] = sf_provenance(sf_dir)
+    out["provenance"] = sf_provenance(src_dir if append_mode else sf_dir)
     line = json.dumps(out)
     if out_file:
         with open(out_file, "w") as fh:
