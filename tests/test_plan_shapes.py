@@ -222,3 +222,23 @@ def test_bpe_pair_stats_single_bounded_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Window [" not in plan
+
+
+def test_near_dup_pass2_plan_shape(spark, sf_dir):
+    """Pass 2 of the two-pass near-dup build (r9): boundary selection's
+    two windows share ONE exchange (rf and cf partition by the same
+    keys), the kernel repartition is the second, and the narrow pass-1
+    artifact joins by BROADCAST — docs/PLANS.md near_dup_rep_edges:
+    exchanges=2, broadcast_joins=1, no sort-merge join."""
+    from e_commerce_etl_pipeline_spark.extensions import similarity as S
+
+    # materialize the p1 artifact first so the plan under test reads a
+    # two-node scan, not the whole pass-1 build
+    S.near_dup_p1_clusters(spark, sf_dir).count()
+    plan = (
+        S.near_dup_rep_edges(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
