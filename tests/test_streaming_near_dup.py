@@ -226,3 +226,53 @@ def test_stream_replay_skip_and_partial_overlap(spark, sf_dir, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="PARTIALLY overlaps"):
         q2.awaitTermination(300)
+
+
+def test_torn_p1_write_is_overwritten_on_replay(spark, sf_dir, tmp_path):
+    """The r9 two-artifact write order (p1 first, then final) opens one
+    torn-write window: a crash after p1 v=N lands but before final v=N
+    leaves a complete p1 with no final sibling. Readers key off the
+    FINAL version, so they never see it; the replayed batch must pick
+    v_prior from the latest complete FINAL, rewrite p1 v=N in place
+    (mode=overwrite), and converge to a consistent pair."""
+    from e_commerce_etl_pipeline_spark.streaming.incremental import _p1_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    w, s = str(tmp_path / "w"), str(tmp_path / "s")
+    os.makedirs(s)
+    emb.coalesce(1).write.parquet(f"{w}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") <= 8).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
+    )
+    _one_file_batch(batch, str(tmp_path / "st"), s, "batch.parquet")
+
+    # seed v=0 (both artifacts) by starting and finishing an EMPTY
+    # stream first — the seeding happens at stream construction
+    q0 = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "nothing-*.parquet").parquet(s),
+        w, checkpoint_dir=f"{w}/_ckpt0",
+    )
+    q0.awaitTermination(120)
+    # plant the torn state: a complete p1 v=1 with WRONG content (one
+    # bogus row) and no final v=1 — the replay must overwrite it
+    spark.createDataFrame(
+        [(999999, 999999)], "vec_id long, canonical_id long"
+    ).write.parquet(f"{_p1_root(w)}/v=1")
+
+    q = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s),
+        w, checkpoint_dir=f"{w}/_ckpt",
+    )
+    q.awaitTermination(300)
+    final = _groups(read_assignment(spark, w))
+    new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert new_ids <= set(final), "batch must apply over the torn p1"
+    p1v1 = _groups(spark.read.parquet(f"{_p1_root(w)}/v=1"))
+    assert 999999 not in p1v1, "torn p1 version must be overwritten"
+    assert new_ids <= set(p1v1), "rewritten p1 must carry the batch"
