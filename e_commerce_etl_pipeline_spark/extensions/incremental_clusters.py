@@ -342,6 +342,48 @@ def _grow_assignment(
     return relabeled.unionByName(non_prior), old_nodes
 
 
+def _touched_family_members(
+    prior_p1: DataFrame, touched_old: DataFrame
+) -> DataFrame:
+    """Every member (vec_id) of every pass-1 family reached by a
+    touched old node — the stage-2 re-enumeration scope.
+
+    ``touched_old`` holds raw edge-endpoint MEMBER ids, not canonicals
+    (ADVICE r9 #1: semi-joining prior_p1.canonical_id against raw
+    member ids would see a family reached via a NON-canonical member as
+    only that member, so buckets holding the family's other members
+    would not be re-enumerated after a pass-1 merge changed their
+    boundary rows — violating the incremental-supersets-rebuild
+    guarantee). So: map each touched node to its family canonical
+    first (prior-absent singletons are their own canonical), then
+    enumerate members of those canonicals.
+
+    Join shape: touched_old is batch-bounded, prior_p1 corpus-sized —
+    every join here broadcasts the small side and streams the narrow
+    prior map-side. The canonical set deliberately includes ALL touched
+    ids too (not just prior-absent ones): a non-canonical member id
+    never appears as prior_p1.canonical_id (a canonical is the min id
+    of its family), so the extra filter values match nothing — which
+    avoids a left-anti join against the corpus-sized prior just to
+    identify the singletons."""
+    touched_canon = (
+        prior_p1.join(F.broadcast(touched_old), "vec_id")
+        .select("canonical_id")
+        .unionByName(
+            touched_old.select(F.col("vec_id").alias("canonical_id"))
+        )
+        .distinct()
+    )
+    return (
+        prior_p1.join(F.broadcast(touched_canon), "canonical_id", "left_semi")
+        .select("vec_id")
+        .unionByName(
+            touched_canon.select(F.col("canonical_id").alias("vec_id"))
+        )
+        .distinct()
+    )
+
+
 def incremental_near_dup_update(
     spark: SparkSession, sf_dir: str, new_vecs: DataFrame,
     check_ids: bool = True,
@@ -449,22 +491,13 @@ def incremental_near_dup_update(
     # Pass 2 runs over BOUNDARY rows per (t, bucket, pass-1 family)
     # (similarity.p2_boundary_rows). A family's boundary rows change
     # only when ITS membership changes, so the affected buckets are
-    # those holding any member of a TOUCHED family: every old cc1 node
-    # touched old node (returned by the stage-1 growth)
-    # is a prior canonical or prior-absent singleton of a family the
-    # batch edges reached (gaining members or merging either way), and
-    # the batch brings its own new families. Touched family mass is
-    # batch-scale (bounded by batch size x family sizes).
-    touched_members = (
-        prior_p1.join(
-            F.broadcast(
-                touched_old.withColumnRenamed("vec_id", "canonical_id")
-            ),
-            "canonical_id", "left_semi",
-        ).select("vec_id")
-        .unionByName(touched_old)  # singleton families aren't in prior_p1
-        .distinct()
-    )
+    # those holding any member of a TOUCHED family: a touched old node
+    # (returned by the stage-1 growth) is a raw edge-endpoint MEMBER of
+    # a family the batch edges reached (gaining members or merging
+    # either way), and the batch brings its own new families. Touched
+    # family mass is batch-scale (bounded by batch size x family
+    # sizes).
+    touched_members = _touched_family_members(prior_p1, touched_old)
     keyed = S.nd_keyed_corpus(spark, sf_dir)
     batch_keyed = S.with_chain_keys(
         _tabled_all(batch_corpus, True, bits)

@@ -841,11 +841,15 @@ def near_dup_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _w_suffix() -> str:
-    # The artifact answer depends on the chain width, so a non-default W
-    # gets its own artifact key — otherwise a tuned run would silently
-    # reuse (or poison) the default-W store for the same corpus
-    # fingerprint.
-    return "" if NEAR_DUP_CHAIN_W == 16 else f"_w{NEAR_DUP_CHAIN_W}"
+    # The artifact answer depends on the chain width AND the twin-id
+    # offset, so a non-default value of either gets its own artifact
+    # key — otherwise a tuned run would silently reuse (or poison) the
+    # default store for the same corpus fingerprint (ADVICE r9 #3: a
+    # store built under one SPARK_GRAFT_TWIN_OFFSET would serve twin
+    # ids from the wrong offset to a session running another).
+    w = "" if NEAR_DUP_CHAIN_W == 16 else f"_w{NEAR_DUP_CHAIN_W}"
+    o = "" if TWIN_OFFSET == 1_000_000 else f"_o{TWIN_OFFSET}"
+    return w + o
 
 
 def _w2_suffix() -> str:

@@ -226,13 +226,19 @@ def near_dup_index_stream(
 
     if _latest_assignment_version(spark, assign_root) is None:
         # p1 first: a complete FINAL version implies its p1 sibling
-        # exists (readers key completeness off the final)
-        S.near_dup_p1_clusters(spark, work_dir).write.parquet(
-            f"{p1_root}/v=0"
-        )
-        S.near_dup_clusters(spark, work_dir).write.parquet(
-            f"{assign_root}/v=0"
-        )
+        # exists (readers key completeness off the final). Both writes
+        # OVERWRITE (ADVICE r9 #2): a crash between them leaves p1 v=0
+        # on disk while the final is absent, so restart re-enters this
+        # branch — with errorifexists the p1 write would raise
+        # path-already-exists and the stream could never start without
+        # manual cleanup. Overwrite makes seeding idempotent across
+        # crashes, matching the batch-path discipline.
+        S.near_dup_p1_clusters(spark, work_dir).write.mode(
+            "overwrite"
+        ).parquet(f"{p1_root}/v=0")
+        S.near_dup_clusters(spark, work_dir).write.mode(
+            "overwrite"
+        ).parquet(f"{assign_root}/v=0")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

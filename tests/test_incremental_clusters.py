@@ -128,3 +128,33 @@ def test_driver_and_distributed_cc_paths_agree(spark, split_dirs):
         )
     )
     assert via_driver == via_distributed
+
+
+def test_touched_family_members_maps_noncanonical_to_full_family(spark):
+    """ADVICE r9 #1: a family reached via a NON-canonical member must
+    contribute ALL its members to the stage-2 re-enumeration scope —
+    the raw touched set holds edge-endpoint member ids, and semi-joining
+    canonical_id against those directly would miss every family touched
+    only through a non-canonical member."""
+    from e_commerce_etl_pipeline_spark.extensions.incremental_clusters import (
+        _touched_family_members,
+    )
+
+    # families: {1, 5, 9} (canonical 1), {2, 6} (canonical 2);
+    # 42 is a prior-absent singleton
+    prior_p1 = spark.createDataFrame(
+        [(1, 1), (5, 1), (9, 1), (2, 2), (6, 2)],
+        "vec_id long, canonical_id long",
+    )
+    touched = spark.createDataFrame(
+        [(9,), (42,)], "vec_id long"
+    )  # 9 is NOT the canonical of its family
+    got = {r["vec_id"] for r in _touched_family_members(prior_p1, touched).collect()}
+    assert got == {1, 5, 9, 42}, got
+
+    # touched via the canonical itself behaves identically
+    touched_c = spark.createDataFrame([(2,)], "vec_id long")
+    got_c = {
+        r["vec_id"] for r in _touched_family_members(prior_p1, touched_c).collect()
+    }
+    assert got_c == {2, 6}, got_c

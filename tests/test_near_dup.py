@@ -198,3 +198,20 @@ def test_near_dup_pipeline_defaults_to_cluster_path(spark, sf_dir, tmp_path):
     assert row["fence_dropped_rows"] is None
     assert row["recall"] == pytest.approx(gate[0]["recall"])
     assert out["recall"] == pytest.approx(gate[0]["recall"])
+
+
+def test_twin_offset_is_folded_into_artifact_keys(monkeypatch):
+    """ADVICE r9 #3: stores built under one SPARK_GRAFT_TWIN_OFFSET must
+    not be silently reused by a session running another — the offset
+    rides the artifact key suffix exactly like the chain widths."""
+    import e_commerce_etl_pipeline_spark.extensions.similarity as S
+
+    assert S._w_suffix() == "" and S._w2_suffix() == "", (
+        "default-config suffixes must stay empty (artifact-name "
+        "compatibility with existing stores)"
+    )
+    monkeypatch.setattr(S, "TWIN_OFFSET", 2_000_000)
+    assert "_o2000000" in S._w_suffix()
+    assert "_o2000000" in S._w2_suffix()
+    monkeypatch.setattr(S, "NEAR_DUP_CHAIN_W", 64)
+    assert S._w_suffix() == "_w64_o2000000"

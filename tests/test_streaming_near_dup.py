@@ -276,3 +276,42 @@ def test_torn_p1_write_is_overwritten_on_replay(spark, sf_dir, tmp_path):
     p1v1 = _groups(spark.read.parquet(f"{_p1_root(w)}/v=1"))
     assert 999999 not in p1v1, "torn p1 version must be overwritten"
     assert new_ids <= set(p1v1), "rewritten p1 must carry the batch"
+
+
+def test_torn_seed_is_overwritten_on_restart(spark, sf_dir, tmp_path):
+    """ADVICE r9 #2: v=0 seeding writes p1 then final; a crash between
+    the two leaves p1 v=0 on disk with no final, so restart re-enters
+    the seeding branch (latest FINAL version is None). With the default
+    errorifexists mode the p1 re-write would raise
+    path-already-exists and the stream could never start without manual
+    cleanup — seeding must be overwrite-idempotent."""
+    from e_commerce_etl_pipeline_spark.streaming.incremental import _p1_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    w, s = str(tmp_path / "w"), str(tmp_path / "s")
+    os.makedirs(s)
+    emb.coalesce(1).write.parquet(f"{w}/embeddings.parquet")
+
+    # plant the torn seed: a complete p1 v=0, NO final v=0 — exactly
+    # the state a crash between the two seed writes leaves behind
+    spark.createDataFrame(
+        [(999999, 999999)], "vec_id long, canonical_id long"
+    ).write.parquet(f"{_p1_root(w)}/v=0")
+
+    batch = emb.filter(F.col("vec_id") <= 8).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
+    )
+    _one_file_batch(batch, str(tmp_path / "st"), s, "batch.parquet")
+    q = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s),
+        w, checkpoint_dir=f"{w}/_ckpt",
+    )
+    q.awaitTermination(300)
+    final = _groups(read_assignment(spark, w))
+    new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert new_ids <= set(final), "stream must start over the torn seed"
+    p1v0 = _groups(spark.read.parquet(f"{_p1_root(w)}/v=0"))
+    assert 999999 not in p1v0, "torn p1 seed must be overwritten"
