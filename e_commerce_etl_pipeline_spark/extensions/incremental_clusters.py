@@ -636,3 +636,297 @@ EXT_QUERIES = {
     # rows-only: iterative stateful-index maintenance (see docstring)
     "near_dup_incremental_update": (near_dup_incremental_update, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# O(batch) store-backed maintenance (r10 — VERDICT r9 #1/#2/#3)
+# ---------------------------------------------------------------------------
+# The frame-based path above is exact but carries O(corpus) terms per
+# batch: the keyed-corpus snapshot cache misses on every append, the
+# grown assignments are materialized corpus-sized, and the stage-2
+# scope is found by scanning corpus-sized frames against broadcast
+# filters. The store-backed path below keeps the SAME algorithm (same
+# kernel, same contraction, same min-label union-find, same touched-
+# family scope) but reads every input through extensions.nd_store's
+# pruned point-lookups and returns bounded DELTAS (remap dicts + new
+# rows) instead of corpus-sized frames — per-batch work is then
+# proportional to touched buckets and families, never the corpus.
+
+# driver-side bound on the touched-family member set and on the
+# affected-bucket row set; above it the batch is not a micro-batch
+# (backfill-scale) and the distributed frame path + base rewrite runs
+STORE_MEMBER_CAP = 2_000_000
+
+
+class ScaleFallback(Exception):
+    """Batch exceeds the bounded-driver caps — route to the
+    distributed frame path (and fold the result into a fresh base
+    generation)."""
+
+
+class _UnionFind:
+    """Min-label union-find — the same contraction the frame path's
+    driver fast path uses (min id stays the root)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        r = x
+        while p[r] != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def add(self, x: int) -> None:
+        self.parent.setdefault(x, x)
+
+    def union(self, a: int, b: int) -> None:
+        self.add(a)
+        self.add(b)
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def _uf_deltas(
+    edges: list[tuple[int, int]],
+    cid_of: dict[int, int],
+    batch_ids: set[int],
+    old_ids: list[int],
+) -> tuple[dict[int, int], list[tuple[int, int]]]:
+    """Contracted min-label components as (remap, new_rows): exactly
+    the frame path's driver fast path, minus the frame assembly. Old
+    endpoints contract to their prior canonical (prior canonical = min
+    vec_id of its cluster, so min-label over the contracted graph
+    equals min-label over the full graph); every batch id registers
+    (singletons included); prior-absent old endpoints (absorbed
+    singletons) join as new rows."""
+    uf = _UnionFind()
+    for s, d in edges:
+        uf.union(cid_of.get(s, s), cid_of.get(d, d))
+    for b in batch_ids:
+        uf.add(b)
+    remap: dict[int, int] = {}
+    for c in set(cid_of.values()):
+        uf.add(c)
+        r = uf.find(c)
+        if r != c:
+            remap[c] = r
+    new_rows = [(b, uf.find(b)) for b in sorted(batch_ids)] + [
+        (o, uf.find(o)) for o in old_ids if o not in cid_of
+    ]
+    return remap, new_rows
+
+
+def near_dup_batch_delta(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    max_seq: int,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    member_cap: int = STORE_MEMBER_CAP,
+) -> dict:
+    """One micro-batch's effect on the stored two-pass assignment, as
+    bounded deltas against the store state at ``max_seq``. Mirrors
+    incremental_near_dup_update stage for stage; every read is a
+    pruned store lookup, every intermediate is batch/family-bounded.
+
+    Returns {batch_keyed, p1_remap, p1_new, final_remap, final_new,
+    stats}; raises ScaleFallback past the driver caps (backfill-scale
+    batches take the distributed frame path instead)."""
+    timings: dict[str, float] = {}
+    _t = time.time()
+    batch_corpus = batch_near_dup_corpus(batch_df)
+    batch_keyed = (
+        S.with_chain_keys(_tabled_all(batch_corpus, True, store.bits))
+        .drop("__new")
+        .localCheckpoint()
+    )
+    batch_ids = {
+        r["vec_id"] for r in batch_keyed.select("vec_id").distinct().collect()
+    }
+    tb = [
+        (r["t"], r["bucket"])
+        for r in batch_keyed.select("t", "bucket").distinct().collect()
+    ]
+    # ---- pass-1 increment: full-bucket chain edges, new-member only --
+    members = store.keyed_for_buckets(tb, max_seq)
+    edges_df = S.chain_edges_arrow(
+        members.unionByName(batch_keyed), ["t", "bucket"],
+        S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS,
+    )
+    # old-old adjacencies are redundant under pure insertion (the
+    # provable pass-1 direction) — drop them BEFORE the collect so the
+    # driver never holds a clone-mass bucket's full edge set
+    bdf = spark.createDataFrame(
+        [(i,) for i in sorted(batch_ids)], "vec_id bigint"
+    )
+    new_edges = (
+        edges_df.join(
+            F.broadcast(bdf.withColumnRenamed("vec_id", "src")).withColumn(
+                "__ns", F.lit(True)
+            ),
+            "src", "left",
+        )
+        .join(
+            F.broadcast(bdf.withColumnRenamed("vec_id", "dst")).withColumn(
+                "__nd", F.lit(True)
+            ),
+            "dst", "left",
+        )
+        .filter(F.col("__ns").isNotNull() | F.col("__nd").isNotNull())
+        .select("src", "dst")
+    )
+    p1_edge_rows = [(r["src"], r["dst"]) for r in new_edges.collect()]
+    if len(p1_edge_rows) > driver_cc_max_edges:
+        raise ScaleFallback(f"{len(p1_edge_rows)} pass-1 edges")
+    timings["p1_edges"] = time.time() - _t
+    _t = time.time()
+
+    old_ids = sorted(
+        {e for pair in p1_edge_rows for e in pair} - batch_ids
+    )
+    p1_cid = store.p1_lookup(old_ids, max_seq)
+    p1_remap, p1_new = _uf_deltas(p1_edge_rows, p1_cid, batch_ids, old_ids)
+    timings["grow_p1"] = time.time() - _t
+    _t = time.time()
+
+    # ---- pass-2 increment: touched families -> affected buckets ------
+    # touched PRIOR canonicals: the family of every old endpoint
+    # (ADVICE r9 #1 — map members to canonicals, then enumerate)
+    touched_canon = {p1_cid.get(o, o) for o in old_ids}
+    m_ids = set(store.p1_members(touched_canon, max_seq)) | touched_canon
+    if len(m_ids) > member_cap:
+        raise ScaleFallback(f"{len(m_ids)} touched family members")
+    aff_tb = set(store.buckets_of(sorted(m_ids), max_seq)) | set(tb)
+    aff_rows = store.keyed_for_buckets(
+        sorted(aff_tb), max_seq
+    ).unionByName(batch_keyed).localCheckpoint()
+    aff_ids = sorted(
+        r["vec_id"]
+        for r in aff_rows.select("vec_id").distinct().collect()
+    )
+    if len(aff_ids) > member_cap:
+        raise ScaleFallback(f"{len(aff_ids)} affected-bucket rows")
+    # GROWN pass-1 family per affected row: prior canonical relabeled
+    # through this batch's remap, new rows from this batch's additions
+    fam_prior = store.p1_lookup(
+        [i for i in aff_ids if i not in batch_ids], max_seq
+    )
+    p1_new_map = dict(p1_new)
+    fam_rows = []
+    for v in aff_ids:
+        c = p1_new_map.get(v)
+        if c is None:
+            c = fam_prior.get(v, v)
+            c = p1_remap.get(c, c)
+        fam_rows.append((v, c))
+    fam_df = spark.createDataFrame(fam_rows, "vec_id bigint, __fam bigint")
+    keyed_fam = aff_rows.join(F.broadcast(fam_df), "vec_id")
+    p2_edges_df = S.chain_edges_arrow(
+        S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
+        S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
+    )
+    p2_edge_rows = [(r["src"], r["dst"]) for r in p2_edges_df.collect()]
+    all_edges = p1_edge_rows + p2_edge_rows
+    if len(all_edges) > driver_cc_max_edges:
+        raise ScaleFallback(f"{len(all_edges)} total edges")
+    timings["p2_edges"] = time.time() - _t
+    _t = time.time()
+
+    # ---- final: grow through both edge sets --------------------------
+    f_old = sorted({e for pair in all_edges for e in pair} - batch_ids)
+    f_cid = store.final_lookup(f_old, max_seq)
+    final_remap, final_new = _uf_deltas(all_edges, f_cid, batch_ids, f_old)
+    timings["grow_final"] = time.time() - _t
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS.update(timings)
+    return {
+        "batch_keyed": batch_keyed,
+        "p1_remap": p1_remap,
+        "p1_new": p1_new,
+        "final_remap": final_remap,
+        "final_new": final_new,
+        "stats": {
+            "p1_edges": len(p1_edge_rows),
+            "p2_edges": len(p2_edge_rows),
+            "touched_families": len(touched_canon),
+            "touched_members": len(m_ids),
+            "affected_buckets": len(aff_tb),
+            "affected_rows": len(aff_ids),
+        },
+    }
+
+
+def apply_batch_to_store(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    member_cap: int = STORE_MEMBER_CAP,
+) -> dict:
+    """Apply one ingest batch to the appendable store: compute the
+    bounded delta and write it as the next seq dir (idempotent across
+    crash/replay — see nd_store's contract). Backfill-scale batches
+    that trip the driver caps take the distributed frame path against
+    the FOLDED priors and commit a fresh base generation instead (one
+    O(corpus) rewrite, amortized over the backfill's size).
+
+    Caller contract (the stream enforces it): the batch's ids are
+    disjoint from the stored corpus and below TWIN_OFFSET, and the
+    hash tier still matches ``store.bits``. Returns per-batch stats
+    (seq/skip/fallback + stage timings)."""
+    from . import nd_store as NS
+
+    fp = NS.batch_fingerprint(batch_df)
+    meta = store._root_meta() or {}
+    latest = store.latest_seq()
+    if meta.get("last_fp") == fp and latest == store.upto_seq:
+        return {"skipped": True, "seq": latest, "reason": "folded replay"}
+    if latest > store.upto_seq:
+        lmeta = store._seq_meta(latest)
+        if lmeta and lmeta.get("batch_fp") == fp:
+            # torn replay: the seq landed, the corpus append did not —
+            # the store state is already exactly this batch's result
+            return {"skipped": True, "seq": latest, "reason": "seq replay"}
+    seq = latest + 1
+    try:
+        delta = near_dup_batch_delta(
+            spark, store, batch_df, max_seq=latest,
+            driver_cc_max_edges=driver_cc_max_edges, member_cap=member_cap,
+        )
+    except ScaleFallback as why:
+        _t = time.time()
+        grown, grown_p1 = incremental_near_dup_update(
+            spark, store.work_dir, batch_df,
+            prior=store.final_fold(latest),
+            prior_p1=store.p1_fold(latest),
+            bits=store.bits, return_p1=True, check_ids=False,
+            driver_cc_max_edges=-1,  # stay distributed — the caps tripped
+        )
+        batch_keyed = S.with_chain_keys(
+            _tabled_all(batch_near_dup_corpus(batch_df), True, store.bits)
+        ).drop("__new")
+        store._commit_generation(
+            store._keyed_all(latest).unionByName(
+                batch_keyed.select(*NS.KEYED_COLS)
+            ),
+            grown_p1, grown, upto=seq, last_fp=fp,
+        )
+        return {
+            "seq": seq, "fallback": str(why),
+            "sec": round(time.time() - _t, 3),
+        }
+    _t = time.time()
+    store.write_seq(
+        seq, fp, delta["batch_keyed"],
+        delta["p1_new"], delta["final_new"],
+        delta["p1_remap"], delta["final_remap"],
+    )
+    LAST_TIMINGS["write_seq"] = time.time() - _t
+    return {"seq": seq, "stats": delta["stats"],
+            "timings": dict(LAST_TIMINGS)}

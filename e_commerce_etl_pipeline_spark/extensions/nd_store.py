@@ -1,0 +1,504 @@
+"""Appendable on-disk near-dup maintenance store (VERDICT r9 #1/#2/#3).
+
+The r9 streaming/append near-dup path had one structural scale-killer
+left: every micro-batch re-derived the keyed corpus (wide embedding
+scan + twin synthesis + 4-table explode + signature build) because the
+keyed frame was fingerprint-cached per corpus SNAPSHOT and an append
+changes the snapshot (`BENCH_incremental_append_sf10_r9.json`:
+p1_edges 2.8 -> 11.1 s across three 400-vector appends). The keyed row
+(t, bucket, __sig, __proj) is a pure per-vector function at a fixed
+``lsh_bits`` tier, so this module persists it ONCE and appends each
+batch's keyed rows instead — plus the two cluster assignments (pass-1
+and final) as base + per-batch DELTAS, so no maintenance step ever
+rewrites, rescans, or re-sorts a corpus-sized artifact.
+
+Layout (all under ``{work_dir}/nd_index{_w2_suffix()}_b{bits}`` — the
+chain widths, twin offset and hash tier ride the ROOT name, so a tuned
+run can never poison another configuration's store)::
+
+    _META          json {bits, gen, upto_seq, n_keyed}; the ATOMIC
+                   commit point for seed and compact — it names the
+                   active base generation and the last seq folded into
+                   it; written LAST, so readers never see a torn base
+    g=<gen>/       one immutable base generation
+      keyed/       keyed corpus, range-partitioned and sorted by
+                   (t, bucket), small row groups — bucket IN-list
+                   reads prune at row-group granularity
+      keyed_idx/   narrow (vec_id, t, bucket) sidecar sorted by vec_id
+                   — "which buckets hold these ids" point-lookups
+      p1/          pass-1 assignment sorted by vec_id   (cid lookups)
+      p1_bycan/    pass-1 assignment sorted by canonical_id
+                   (family-member enumeration)
+      final/       final assignment sorted by vec_id
+    s=<n>/         one dir per applied batch (seqs ≤ upto_seq are
+                   folded into the base and ignored)
+      keyed/       the batch corpus's keyed rows (base + twins)
+      p1_new/      rows ADDED to the pass-1 assignment
+      final_new/   rows ADDED to the final assignment
+      meta.json    {batch_fp, p1_remap, final_remap, ...}; written
+                   LAST -> seq completeness marker
+
+Assignment semantics: ``assignment(N) = relabel(base ∪ new-rows(upto+1
+.. N)) through the COMPOSED remaps(upto+1 .. N)``. A remap entry
+(old_canonical -> new_canonical) is produced when a batch merges prior
+families (min-label only ever decreases); remaps are dicts BOUNDED by
+cumulative family churn, composed driver-side with path compression,
+and applying the fully-composed map to any row is exact regardless of
+which seq wrote it — a canonical that was remapped away at seq k can
+never be a live canonical at seq > k, so the composed map's entries
+never collide.
+
+Crash/replay contract (single sequential writer — the stream):
+
+- A seq dir without ``meta.json`` is incomplete and invisible to every
+  reader; the replayed batch overwrites it in place.
+- ``meta.json`` carries the batch's content fingerprint: a replay
+  whose fingerprint matches the LATEST complete seq re-uses that seq
+  number (a crash landed between the seq write and the corpus append),
+  so no batch can ever occupy two seqs.
+- Seed/compact write a FRESH generation dir and commit it by
+  rewriting ``_META`` (tiny, last): a crash mid-write leaves ``_META``
+  pointing at the old consistent state; stale generations and folded
+  seq dirs are garbage-collected best-effort on the next commit
+  (ADVICE r9 #2's overwrite-idempotent discipline, generalized).
+
+Scale shape: per-batch work is proportional to the batch's touched
+buckets and families — pruned parquet reads (bucket/vec_id IN-lists
+against sorted bases; the IN pushdown threshold is raised so parquet
+row-group stats actually see the lists), bounded driver collects, and
+batch-sized writes. The corpus-sized artifacts are written once at
+seed and rewritten only by ``compact()`` (amortized: every
+``compact_every`` batches, or after a backfill batch routed through
+the distributed fallback). At deployment scale the same layout maps to
+a bucket-partitioned lakehouse table + an upsert-able assignment table;
+the compute shape here already assumes nothing more than pruned reads.
+
+Reference behavior parity: the reference maintains warehouse state
+across 15-minute increments instead of re-extracting the world
+(dags/incremental_etl_dag.py); this store applies that discipline to
+the similarity index itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import fsops
+from . import similarity as S
+
+KEYED_COLS = ["vec_id", "v", "norm", "t", "bucket", "__sig", "__proj"]
+ASSIGN_COLS = ["vec_id", "canonical_id"]
+
+# target rows per output file for the sorted base writes: small enough
+# that (file, row-group) stats give the IN-list reads real pruning,
+# large enough that file count stays O(corpus / 250k)
+_BASE_ROWS_PER_FILE = 250_000
+# small row groups inside each base file (default 128 MiB would leave
+# one group per file and nothing to prune)
+_BASE_BLOCK_BYTES = 4 * 1024 * 1024
+# parquet IN-list pushdown gives up above this many values by default
+# (10); the store's bucket lists run to a few thousand
+_IN_THRESHOLD = 8192
+
+
+def _set_in_threshold(spark: SparkSession) -> None:
+    spark.conf.set(
+        "spark.sql.parquet.pushdown.inFilterThreshold", str(_IN_THRESHOLD)
+    )
+
+
+def batch_fingerprint(batch_df: DataFrame) -> str:
+    """Deterministic content fingerprint of a batch's id set — one
+    narrow aggregate (no collect of the ids). Used to recognize a
+    replayed batch whose seq dir landed before a crash."""
+    row = batch_df.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.sum("vec_id").alias("s"),
+        F.sum(F.col("vec_id") * F.col("vec_id")).alias("s2"),
+    ).first()
+    return hashlib.sha1(
+        f"{row['n']}|{row['lo']}|{row['hi']}|{row['s']}|{row['s2']}".encode()
+    ).hexdigest()
+
+
+def _compose(base: dict[int, int], nxt: dict[int, int]) -> dict[int, int]:
+    """base then nxt, path-compressed: every historical canonical maps
+    straight to its current one."""
+    out = {old: nxt.get(tgt, tgt) for old, tgt in base.items()}
+    for k, v in nxt.items():
+        out.setdefault(k, v)
+    return out
+
+
+class NearDupStore:
+    """Single-writer appendable store for one (work_dir, bits, widths,
+    twin-offset) configuration. Readers may be concurrent; writes are
+    the stream's (or the chained bench's) alone."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, bits: int):
+        self.spark = spark
+        self.work_dir = work_dir.rstrip("/")
+        self.bits = bits
+        self.root = f"{self.work_dir}/nd_index{S._w2_suffix()}_b{bits}"
+        self._meta_cache: dict[int, dict] = {}
+        self._composed_cache: dict[tuple[str, int], dict[int, int]] = {}
+        self._root_meta_cache: dict | None = None
+        _set_in_threshold(spark)
+
+    # ---- root meta / layout helpers -------------------------------------
+    def _root_meta(self) -> dict | None:
+        if self._root_meta_cache is None:
+            txt = fsops.read_text(f"{self.root}/_META", self.spark)
+            self._root_meta_cache = json.loads(txt) if txt else {}
+        return self._root_meta_cache or None
+
+    def is_seeded(self) -> bool:
+        return self._root_meta() is not None
+
+    @property
+    def upto_seq(self) -> int:
+        meta = self._root_meta()
+        return meta["upto_seq"] if meta else 0
+
+    def _base(self, name: str) -> str:
+        meta = self._root_meta()
+        if meta is None:
+            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+        return f"{self.root}/g={meta['gen']}/{name}"
+
+    def _seq_dir(self, seq: int) -> str:
+        return f"{self.root}/s={seq}"
+
+    # ---- seeding / compaction --------------------------------------------
+    def seed(self) -> None:
+        """Materialize the base artifacts from the full-build stored
+        artifacts for the CURRENT corpus (idempotent — a fresh
+        generation committed by the final ``_META`` write)."""
+        keyed = S.nd_keyed_corpus(self.spark, self.work_dir).select(*KEYED_COLS)
+        p1 = S.near_dup_p1_clusters(self.spark, self.work_dir)
+        final = S.near_dup_clusters(self.spark, self.work_dir)
+        self._commit_generation(keyed, p1, final, self._max_physical_seq())
+
+    def compact(self) -> None:
+        """Fold the deltas into a fresh sorted generation and retire
+        the seq dirs — O(corpus), run every ``compact_every`` batches
+        by the stream (amortized) or after a distributed-fallback
+        backfill. Crash-safe: commit is the final ``_META`` rewrite."""
+        max_seq = self.latest_seq()
+        # the folded tail seq's fingerprint survives the fold, so a
+        # replay of that batch after a compact is still recognized
+        last = self._seq_meta(max_seq) if max_seq > self.upto_seq else None
+        keyed = self._keyed_all(max_seq).localCheckpoint()
+        p1 = self._fold("p1", max_seq).localCheckpoint()
+        final = self._fold("final", max_seq).localCheckpoint()
+        self._commit_generation(
+            keyed, p1, final, max_seq,
+            last_fp=last.get("batch_fp") if last else None,
+        )
+
+    def _children(self) -> list[str]:
+        if not fsops.exists(self.root, self.spark):
+            return []
+        return fsops.list_child_names(self.root, self.spark)
+
+    def _max_physical_seq(self) -> int:
+        seqs = [
+            int(name[2:])
+            for name in self._children()
+            if name.startswith("s=")
+        ]
+        return max(seqs, default=0)
+
+    def _commit_generation(
+        self,
+        keyed: DataFrame,
+        p1: DataFrame,
+        final: DataFrame,
+        upto: int,
+        last_fp: str | None = None,
+    ) -> None:
+        meta = self._root_meta()
+        gen = (meta["gen"] + 1) if meta else 1
+        gdir = f"{self.root}/g={gen}"
+        n_keyed = keyed.count()
+        nf = max(4, n_keyed // _BASE_ROWS_PER_FILE)
+        self._sorted_write(
+            keyed.select(*KEYED_COLS), f"{gdir}/keyed", nf, ["t", "bucket"]
+        )
+        self._sorted_write(
+            keyed.select("vec_id", "t", "bucket"),
+            f"{gdir}/keyed_idx", max(2, nf // 4), ["vec_id"],
+        )
+        na = max(2, nf // 8)
+        self._sorted_write(
+            p1.select(*ASSIGN_COLS), f"{gdir}/p1", na, ["vec_id"]
+        )
+        self._sorted_write(
+            p1.select(*ASSIGN_COLS), f"{gdir}/p1_bycan", na, ["canonical_id"]
+        )
+        self._sorted_write(
+            final.select(*ASSIGN_COLS), f"{gdir}/final", na, ["vec_id"]
+        )
+        # the commit point: readers switch generations here or never
+        fsops.write_text(
+            f"{self.root}/_META",
+            json.dumps({
+                "bits": self.bits, "gen": gen,
+                "upto_seq": upto, "n_keyed": n_keyed,
+                # fingerprint of the last batch folded into this base
+                # (fallback/compact): lets a crash-replay of that batch
+                # be recognized even though its seq dir is gone
+                "last_fp": last_fp,
+            }),
+            self.spark,
+        )
+        self._root_meta_cache = None
+        self._composed_cache.clear()
+        self._gc(gen, upto)
+
+    def _gc(self, gen: int, upto: int) -> None:
+        """Best-effort removal of superseded generations and folded
+        seq dirs — retried implicitly at the next commit."""
+        try:
+            for name in self._children():
+                if name.startswith("g=") and int(name[2:]) != gen:
+                    fsops.delete(f"{self.root}/{name}", self.spark)
+                elif name.startswith("s=") and int(name[2:]) <= upto:
+                    fsops.delete(f"{self.root}/{name}", self.spark)
+                    self._meta_cache.pop(int(name[2:]), None)
+        except Exception:  # noqa: BLE001 — GC must never fail a commit
+            pass
+
+    def _sorted_write(
+        self, df: DataFrame, path: str, nfiles: int, sort_cols: list[str]
+    ) -> None:
+        (
+            df.repartitionByRange(nfiles, *[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .option("parquet.block.size", _BASE_BLOCK_BYTES)
+            .parquet(path)
+        )
+
+    # ---- seq bookkeeping -------------------------------------------------
+    def _seq_meta(self, seq: int) -> dict | None:
+        if seq in self._meta_cache:
+            return self._meta_cache[seq]
+        txt = fsops.read_text(f"{self._seq_dir(seq)}/meta.json", self.spark)
+        if txt is None:
+            return None
+        meta = json.loads(txt)
+        self._meta_cache[seq] = meta
+        return meta
+
+    def latest_seq(self) -> int:
+        """Highest COMPLETE seq (``upto_seq`` when none newer exist).
+        Seqs are written sequentially, so completeness is contiguous —
+        walk down from the highest present dir."""
+        upto = self.upto_seq
+        for seq in sorted(
+            (
+                int(name[2:])
+                for name in self._children()
+                if name.startswith("s=") and int(name[2:]) > upto
+            ),
+            reverse=True,
+        ):
+            if self._seq_meta(seq) is not None:
+                return seq
+        return upto
+
+    def seq_for_batch(self, batch_fp: str) -> int:
+        """The seq this batch should (re)write: the latest complete
+        seq if its fingerprint matches (torn replay — the seq landed
+        but the corpus append did not), else the next number."""
+        latest = self.latest_seq()
+        if latest > self.upto_seq:
+            meta = self._seq_meta(latest)
+            if meta and meta.get("batch_fp") == batch_fp:
+                return latest
+        return latest + 1
+
+    def write_seq(
+        self,
+        seq: int,
+        batch_fp: str,
+        batch_keyed: DataFrame,
+        p1_new: list[tuple[int, int]],
+        final_new: list[tuple[int, int]],
+        p1_remap: dict[int, int],
+        final_remap: dict[int, int],
+    ) -> None:
+        d = self._seq_dir(seq)
+        batch_keyed.select(*KEYED_COLS).write.mode("overwrite").parquet(
+            f"{d}/keyed"
+        )
+        for name, rows in (("p1_new", p1_new), ("final_new", final_new)):
+            self.spark.createDataFrame(
+                rows or [], "vec_id bigint, canonical_id bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}")
+        fsops.write_text(
+            f"{d}/meta.json",
+            json.dumps({
+                "seq": seq,
+                "batch_fp": batch_fp,
+                "p1_remap": {str(k): v for k, v in p1_remap.items()},
+                "final_remap": {str(k): v for k, v in final_remap.items()},
+                "n_p1_new": len(p1_new),
+                "n_final_new": len(final_new),
+            }),
+            self.spark,
+        )
+        self._meta_cache.pop(seq, None)  # overwritten seq: force re-read
+        self._composed_cache.clear()
+
+    # ---- composed remaps -------------------------------------------------
+    def _composed(self, which: str, max_seq: int) -> dict[int, int]:
+        key = (which, max_seq)
+        hit = self._composed_cache.get(key)
+        if hit is not None:
+            return hit
+        out: dict[int, int] = {}
+        for seq in range(self.upto_seq + 1, max_seq + 1):
+            meta = self._seq_meta(seq)
+            if meta is None:  # incomplete tail — stop
+                break
+            out = _compose(
+                out, {int(k): v for k, v in meta[f"{which}_remap"].items()}
+            )
+        self._composed_cache[key] = out
+        return out
+
+    # ---- reads -----------------------------------------------------------
+    def _seq_paths(self, name: str, max_seq: int) -> list[str]:
+        return [
+            f"{self._seq_dir(s)}/{name}"
+            for s in range(self.upto_seq + 1, max_seq + 1)
+            if self._seq_meta(s) is not None
+        ]
+
+    def _keyed_all(self, max_seq: int) -> DataFrame:
+        paths = [self._base("keyed")] + self._seq_paths("keyed", max_seq)
+        return self.spark.read.parquet(*paths).select(*KEYED_COLS)
+
+    @staticmethod
+    def _tb_pred(tbuckets: list[tuple[int, int]]):
+        """Exact (t, bucket) membership predicate, shaped so parquet
+        sees a plain ``bucket IN (...)`` it can prune row groups with
+        (the conjunct), refined by the per-table disjunction."""
+        by_t: dict[int, list[int]] = {}
+        for t, b in tbuckets:
+            by_t.setdefault(t, []).append(b)
+        all_buckets = sorted({b for _, b in tbuckets})
+        exact = None
+        for t, bs in sorted(by_t.items()):
+            c = (F.col("t") == t) & F.col("bucket").isin(bs)
+            exact = c if exact is None else exact | c
+        return F.col("bucket").isin(all_buckets) & exact
+
+    def keyed_for_buckets(
+        self, tbuckets: list[tuple[int, int]], max_seq: int
+    ) -> DataFrame:
+        """ALL current rows of the given (t, bucket) groups — the
+        full-bucket member sets the chain kernel re-ranks. Pruned read:
+        bucket IN-list against the (t, bucket)-sorted base."""
+        if not tbuckets:
+            return self._keyed_all(max_seq).limit(0)
+        return self._keyed_all(max_seq).filter(self._tb_pred(tbuckets))
+
+    def buckets_of(self, ids: list[int], max_seq: int) -> list[tuple[int, int]]:
+        """(t, bucket) pairs holding any of ``ids`` — narrow pruned
+        read of the vec_id-sorted sidecar (+ the tiny seq keyed dirs)."""
+        if not ids:
+            return []
+        paths = [self._base("keyed_idx")] + self._seq_paths("keyed", max_seq)
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select("vec_id", "t", "bucket")
+            .filter(F.col("vec_id").isin(ids))
+            .select("t", "bucket")
+            .distinct()
+            .collect()
+        )
+        return [(r["t"], r["bucket"]) for r in rows]
+
+    def _assign_lookup(
+        self, which: str, ids: list[int], max_seq: int
+    ) -> dict[int, int]:
+        """Current canonical for each of ``ids`` PRESENT in the
+        assignment (absent ids are singletons — callers coalesce).
+        Pruned read of the vec_id-sorted base + the tiny delta dirs,
+        then the composed remap driver-side."""
+        if not ids:
+            return {}
+        base = "p1" if which == "p1" else "final"
+        paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
+        raw = {
+            r["vec_id"]: r["canonical_id"]
+            for r in self.spark.read.parquet(*paths)
+            .filter(F.col("vec_id").isin(ids))
+            .collect()
+        }
+        rm = self._composed(which, max_seq)
+        return {v: rm.get(c, c) for v, c in raw.items()}
+
+    def p1_lookup(self, ids: list[int], max_seq: int) -> dict[int, int]:
+        return self._assign_lookup("p1", ids, max_seq)
+
+    def final_lookup(self, ids: list[int], max_seq: int) -> dict[int, int]:
+        return self._assign_lookup("final", ids, max_seq)
+
+    def p1_members(self, canonicals: set[int], max_seq: int) -> list[int]:
+        """vec_ids of every CURRENT member of the given (current)
+        canonical families. Base rows carry seed-time canonicals, so
+        the filter list is the PREIMAGE of the requested set under the
+        composed remap — pruned against the canonical-sorted base
+        copy."""
+        if not canonicals:
+            return []
+        rm = self._composed("p1", max_seq)
+        pre = set(canonicals) | {
+            old for old, cur in rm.items() if cur in canonicals
+        }
+        paths = [self._base("p1_bycan")] + self._seq_paths("p1_new", max_seq)
+        rows = (
+            self.spark.read.parquet(*paths)
+            .filter(F.col("canonical_id").isin(sorted(pre)))
+            .select("vec_id")
+            .collect()
+        )
+        return [r["vec_id"] for r in rows]
+
+    def _fold(self, which: str, max_seq: int) -> DataFrame:
+        base = "p1" if which == "p1" else "final"
+        paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
+        df = self.spark.read.parquet(*paths)
+        rm = self._composed(which, max_seq)
+        if not rm:
+            return df.select(*ASSIGN_COLS)
+        rm_df = self.spark.createDataFrame(
+            list(rm.items()), "__old bigint, __new bigint"
+        )
+        return df.join(
+            F.broadcast(rm_df), df.canonical_id == F.col("__old"), "left"
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+        )
+
+    def p1_fold(self, max_seq: int | None = None) -> DataFrame:
+        return self._fold(
+            "p1", self.latest_seq() if max_seq is None else max_seq
+        )
+
+    def final_fold(self, max_seq: int | None = None) -> DataFrame:
+        return self._fold(
+            "final", self.latest_seq() if max_seq is None else max_seq
+        )

@@ -1,0 +1,152 @@
+"""Appendable near-dup maintenance store (extensions.nd_store +
+incremental_clusters.apply_batch_to_store): the store-backed O(batch)
+path must produce EXACTLY the frame path's assignments (same kernel,
+same contraction, same min-label semantics — only the I/O shape
+differs), survive compaction and the distributed fallback unchanged,
+and keep every read pruned-by-construction equivalent to a full scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_etl_pipeline_spark.extensions import similarity as S
+from e_commerce_etl_pipeline_spark.extensions.incremental_clusters import (
+    apply_batch_to_store,
+    incremental_near_dup_update,
+)
+from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
+from e_commerce_etl_pipeline_spark.plans.queries import load_table
+
+
+def _groups(df) -> dict[int, int]:
+    return {r["vec_id"]: r["canonical_id"] for r in df.collect()}
+
+
+@pytest.fixture()
+def work(spark, sf_dir, tmp_path):
+    """A writable corpus dir holding 90% of the sf0.001 embeddings and
+    three disjoint re-identified batches built from the held-out 10%."""
+    w = str(tmp_path / "w")
+    os.makedirs(w)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") % 10 != 7).coalesce(1).write.parquet(
+        f"{w}/embeddings.parquet"
+    )
+    held = emb.filter(F.col("vec_id") % 10 == 7)
+    batches = [
+        held.filter(F.col("vec_id") % 3 == i)
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+        for i in range(3)
+    ]
+    bits = S.lsh_bits(S.corpus_count(spark, w))
+    return w, batches, bits
+
+
+def test_store_path_equals_frame_path_single_batch(spark, work):
+    w, batches, bits = work
+    store = NearDupStore(spark, w, bits)
+    store.seed()
+    res = apply_batch_to_store(spark, store, batches[0])
+    assert res["seq"] == 1 and not res.get("skipped")
+
+    frame_final, frame_p1 = incremental_near_dup_update(
+        spark, w, batches[0], return_p1=True
+    )
+    assert _groups(store.final_fold()) == _groups(frame_final)
+    assert _groups(store.p1_fold()) == _groups(frame_p1)
+
+
+def test_chained_batches_and_compact_equal_frame_chain(spark, work):
+    w, batches, bits = work
+    store = NearDupStore(spark, w, bits)
+    store.seed()
+
+    prior = prior_p1 = None
+    for i, b in enumerate(batches):
+        apply_batch_to_store(spark, store, b)
+        prior, prior_p1 = incremental_near_dup_update(
+            spark, w, b, prior=prior, prior_p1=prior_p1, bits=bits,
+            check_ids=(i == 0), return_p1=True,
+        )
+        prior = prior.localCheckpoint()
+        prior_p1 = prior_p1.localCheckpoint()
+    want_final, want_p1 = _groups(prior), _groups(prior_p1)
+    assert _groups(store.final_fold()) == want_final
+    assert _groups(store.p1_fold()) == want_p1
+
+    # compaction folds the deltas without changing the answer, retires
+    # the seq dirs, and keeps accepting batches
+    store.compact()
+    assert store.latest_seq() == store.upto_seq == 3
+    assert _groups(store.final_fold()) == want_final
+    assert _groups(store.p1_fold()) == want_p1
+
+
+def test_fallback_path_equals_frame_path(spark, work):
+    """A batch that trips the driver caps takes the distributed frame
+    path and folds into a fresh base generation — same answer, and the
+    folded fingerprint still recognizes a crash-replay."""
+    w, batches, bits = work
+    store = NearDupStore(spark, w, bits)
+    store.seed()
+    res = apply_batch_to_store(
+        spark, store, batches[0], driver_cc_max_edges=0
+    )
+    assert "fallback" in res
+    assert store.latest_seq() == store.upto_seq == 1  # folded, no seq dir
+
+    frame_final = incremental_near_dup_update(spark, w, batches[0])
+    assert _groups(store.final_fold()) == _groups(frame_final)
+
+    # replay of the folded batch is recognized by _META's last_fp
+    res2 = apply_batch_to_store(spark, store, batches[0])
+    assert res2.get("skipped") and res2["reason"] == "folded replay"
+
+
+def test_pruned_bucket_read_equals_full_scan(spark, work):
+    w, _, bits = work
+    store = NearDupStore(spark, w, bits)
+    store.seed()
+    keyed = S.nd_keyed_corpus(spark, w)
+    tbs = [
+        (r["t"], r["bucket"])
+        for r in keyed.select("t", "bucket").distinct().limit(13).collect()
+    ]
+    want = {
+        (r["vec_id"], r["t"], r["bucket"])
+        for r in keyed.join(
+            spark.createDataFrame(tbs, "t int, bucket long"),
+            ["t", "bucket"], "left_semi",
+        ).select("vec_id", "t", "bucket").collect()
+    }
+    got = {
+        (r["vec_id"], r["t"], r["bucket"])
+        for r in store.keyed_for_buckets(tbs, store.latest_seq())
+        .select("vec_id", "t", "bucket").collect()
+    }
+    assert got == want
+    # and the point-lookup inverse agrees
+    some_ids = sorted({v for v, _, _ in want})[:20]
+    got_tb = set(store.buckets_of(some_ids, store.latest_seq()))
+    want_tb = {
+        (r["t"], r["bucket"])
+        for r in keyed.filter(F.col("vec_id").isin(some_ids))
+        .select("t", "bucket").distinct().collect()
+    }
+    assert got_tb == want_tb
+
+
+def test_bits_tier_gets_its_own_root(spark, work):
+    """A re-tier (lsh_bits step) must never read a stale-tier store:
+    the tier rides the root name, so the new tier starts unseeded."""
+    w, _, bits = work
+    store = NearDupStore(spark, w, bits)
+    store.seed()
+    assert store.is_seeded()
+    other = NearDupStore(spark, w, bits + 1)
+    assert not other.is_seeded()
+    assert other.root != store.root

@@ -228,14 +228,17 @@ def test_stream_replay_skip_and_partial_overlap(spark, sf_dir, tmp_path):
         q2.awaitTermination(300)
 
 
-def test_torn_p1_write_is_overwritten_on_replay(spark, sf_dir, tmp_path):
-    """The r9 two-artifact write order (p1 first, then final) opens one
-    torn-write window: a crash after p1 v=N lands but before final v=N
-    leaves a complete p1 with no final sibling. Readers key off the
-    FINAL version, so they never see it; the replayed batch must pick
-    v_prior from the latest complete FINAL, rewrite p1 v=N in place
-    (mode=overwrite), and converge to a consistent pair."""
-    from e_commerce_etl_pipeline_spark.streaming.incremental import _p1_root
+def test_torn_seq_is_overwritten_on_replay(spark, sf_dir, tmp_path):
+    """Crash DURING a batch's seq write leaves a meta-less seq dir no
+    reader sees; the replayed batch must overwrite it in place and
+    converge. Crash BETWEEN the seq write and the corpus append leaves
+    a COMPLETE seq whose batch is absent from the corpus; the replay
+    must recognize it by fingerprint and not occupy a second seq."""
+    from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
+    from e_commerce_etl_pipeline_spark.extensions.similarity import (
+        corpus_count,
+        lsh_bits as _bits,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0]
@@ -247,21 +250,13 @@ def test_torn_p1_write_is_overwritten_on_replay(spark, sf_dir, tmp_path):
     )
     _one_file_batch(batch, str(tmp_path / "st"), s, "batch.parquet")
 
-    # seed v=0 (both artifacts) by starting and finishing an EMPTY
-    # stream first — the seeding happens at stream construction
-    q0 = near_dup_index_stream(
-        spark,
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "nothing-*.parquet").parquet(s),
-        w, checkpoint_dir=f"{w}/_ckpt0",
-    )
-    q0.awaitTermination(120)
-    # plant the torn state: a complete p1 v=1 with WRONG content (one
-    # bogus row) and no final v=1 — the replay must overwrite it
+    # plant the torn state BEFORE the stream runs: an incomplete s=1
+    # (junk parquet, no meta.json) — exactly what a crash mid-write
+    # leaves behind
+    store0 = NearDupStore(spark, w, _bits(corpus_count(spark, w)))
     spark.createDataFrame(
         [(999999, 999999)], "vec_id long, canonical_id long"
-    ).write.parquet(f"{_p1_root(w)}/v=1")
+    ).write.parquet(f"{store0._seq_dir(1)}/p1_new")
 
     q = near_dup_index_stream(
         spark,
@@ -272,36 +267,42 @@ def test_torn_p1_write_is_overwritten_on_replay(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     final = _groups(read_assignment(spark, w))
     new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
-    assert new_ids <= set(final), "batch must apply over the torn p1"
-    p1v1 = _groups(spark.read.parquet(f"{_p1_root(w)}/v=1"))
-    assert 999999 not in p1v1, "torn p1 version must be overwritten"
-    assert new_ids <= set(p1v1), "rewritten p1 must carry the batch"
+    assert new_ids <= set(final), "batch must apply over the torn seq"
+    assert 999999 not in final, "torn seq contents must be overwritten"
 
 
-def test_torn_seed_is_overwritten_on_restart(spark, sf_dir, tmp_path):
-    """ADVICE r9 #2: v=0 seeding writes p1 then final; a crash between
-    the two leaves p1 v=0 on disk with no final, so restart re-enters
-    the seeding branch (latest FINAL version is None). With the default
-    errorifexists mode the p1 re-write would raise
-    path-already-exists and the stream could never start without manual
-    cleanup — seeding must be overwrite-idempotent."""
-    from e_commerce_etl_pipeline_spark.streaming.incremental import _p1_root
+def test_seq_replay_after_crash_before_corpus_append(spark, sf_dir, tmp_path):
+    """The other torn window: seq 1 committed (meta.json present) but
+    the corpus append never happened. The replay must detect the
+    fingerprint match, skip the store work, and only append the
+    corpus — the batch must never occupy two seqs."""
+    from e_commerce_etl_pipeline_spark.extensions.incremental_clusters import (
+        apply_batch_to_store,
+    )
+    from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
+    from e_commerce_etl_pipeline_spark.extensions.similarity import (
+        corpus_count,
+        lsh_bits as _bits,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0]
     w, s = str(tmp_path / "w"), str(tmp_path / "s")
     os.makedirs(s)
     emb.coalesce(1).write.parquet(f"{w}/embeddings.parquet")
-
-    # plant the torn seed: a complete p1 v=0, NO final v=0 — exactly
-    # the state a crash between the two seed writes leaves behind
-    spark.createDataFrame(
-        [(999999, 999999)], "vec_id long, canonical_id long"
-    ).write.parquet(f"{_p1_root(w)}/v=0")
-
     batch = emb.filter(F.col("vec_id") <= 8).select(
         (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
-    )
+    ).localCheckpoint()
+
+    # simulate the crashed first attempt: seed + apply the batch to the
+    # store directly, WITHOUT appending the corpus
+    store = NearDupStore(spark, w, _bits(corpus_count(spark, w)))
+    store.seed()
+    res1 = apply_batch_to_store(spark, store, batch)
+    assert res1["seq"] == 1 and not res1.get("skipped")
+    folded_before = _groups(store.final_fold())
+
+    # the stream replays the same batch (fresh checkpoint = redelivery)
     _one_file_batch(batch, str(tmp_path / "st"), s, "batch.parquet")
     q = near_dup_index_stream(
         spark,
@@ -310,8 +311,11 @@ def test_torn_seed_is_overwritten_on_restart(spark, sf_dir, tmp_path):
         w, checkpoint_dir=f"{w}/_ckpt",
     )
     q.awaitTermination(300)
-    final = _groups(read_assignment(spark, w))
+    store2 = NearDupStore(spark, w, store.bits)
+    assert store2.latest_seq() == 1, "replayed batch must not take seq 2"
+    assert _groups(read_assignment(spark, w)) == folded_before
+    # and the corpus append DID happen this time
+    stored = spark.read.parquet(f"{w}/embeddings.parquet")
     new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
-    assert new_ids <= set(final), "stream must start over the torn seed"
-    p1v0 = _groups(spark.read.parquet(f"{_p1_root(w)}/v=0"))
-    assert 999999 not in p1v0, "torn p1 seed must be overwritten"
+    got = {r["vec_id"] for r in stored.select("vec_id").collect()}
+    assert new_ids <= got
