@@ -63,7 +63,7 @@ _PRIORITY = [
     "quality_classifier_eval",
     # similarity search / embeddings
     "ivf_topk",
-    "embedding_label_centroids", "embedding_near_dup_pairs", "ann_recall_eval",
+    "embedding_label_centroids", "ann_recall_eval",
     # r7: the near-dup recall gate + the recall-preserving cluster path
     "near_dup_clusters", "near_dup_recall_eval",
     # r8: SemDeDup on trained IVF cells + corpus-LM rarity scoring
@@ -75,6 +75,14 @@ _PRIORITY = [
     "quality_filter_summary", "redact_pii_docs",
     # late r8: exact-dup-canonical train/val/test splits (oracled)
     "leakage_safe_splits",
+    # r10 rotation (VERDICT r9 #8): near_dup_safe_splits replaces
+    # embedding_near_dup_pairs in-window — the fenced pair path traded
+    # recall for cost by design (recall 0.163 on clone-heavy corpora;
+    # its drop count is observable and the cluster path is the
+    # production route since r9), so the near-dup-safe split tier now
+    # grades in-window instead; the pair path stays full-sweep-verified
+    # below.
+    "near_dup_safe_splits",
     # reference-parity operators
     "dedup_keep_newest", "dedup_drop_all", "merge_upsert_orders",
     "explode_flatten_orders", "coercion_kernel_events", "load_statistics",
@@ -99,7 +107,12 @@ _PRIORITY = [
     # pivot_status_by_priority (the same grouping-sets/pivot aggregate
     # kernel also grades via sales_rollup and order_priority_counts) —
     # displaced in r8 so SemDeDup-on-cells and the corpus-LM rarity
-    # scorer (this round's new first-class operators) grade in-window.
+    # scorer (then-new first-class operators) grade in-window.
+    # Displaced r10: embedding_near_dup_pairs (the fenced pair path —
+    # recall 0.163 on clone-heavy corpora, demoted to a diagnostic in
+    # r9; the same sign-LSH bucket kernel still grades in-window via
+    # near_dup_clusters and ann_recall_eval's lsh method) — making room
+    # for near_dup_safe_splits.
     # Displaced late-r8 for the second operator batch (segment_dedup_docs,
     # chunk_documents, quality_classifier_scores): lang_distribution
     # (same lang-ID kernel as in-window lang_id_docs, aggregated),
@@ -123,7 +136,7 @@ _PRIORITY = [
     # row_count_report kernel), and split_contamination_report (the
     # gram semi-join kernel grades via in-window benchmark_contamination,
     # the split CTE via leakage_safe_splits).
-    "customer_order_stats", "near_dup_safe_splits", "training_shards",
+    "customer_order_stats", "embedding_near_dup_pairs", "training_shards",
     "temperature_mixture_weights", "split_contamination_report",
     "lang_distribution", "minhash_signatures", "brute_force_topk",
     "lsh_bucketed_topk",

@@ -128,6 +128,37 @@ def main() -> None:
 
     calib_sec = round(min(_calib_once() for _ in range(3)), 3)
 
+    # Pre-materialize the write-through index artifacts (VERDICT r9 #7):
+    # a store version bump used to land its one-off cold rebuild inside
+    # whichever registry entry touched the store first (r9 close bench:
+    # semantic_dedup_cells 0.28->3.94 s, cluster_size_histogram
+    # 0.45->3.95 s — all artifact build, not query work). Building them
+    # HERE, each timed into artifact_prebuild, keeps the registry's
+    # cold timings attributable to query work only; the artifact cost
+    # stays visible in the output instead of polluting a query's number.
+    artifact_prebuild: dict[str, float] = {}
+
+    def _prebuild(name, fn):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            artifact_prebuild[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — missing table etc.
+            artifact_prebuild[name] = f"ERROR {type(exc).__name__}"[:80]
+
+    from e_commerce_etl_pipeline_spark.extensions import (
+        components as _cmp,
+        semantic_dedup as _sem,
+        similarity as _sim,
+    )
+
+    _prebuild("near_dup_p1", _sim.near_dup_p1_clusters)
+    _prebuild("near_dup_clusters", _sim.near_dup_clusters)
+    _prebuild("ivf_centroids", _sim.trained_centroids)
+    _prebuild("ivf_assignment", _sim.ivf_assignment)
+    _prebuild("dedup_clusters", _cmp.dedup_clusters)
+    _prebuild("semantic_dedup_cells", _sem.semantic_dedup_cells)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -224,6 +255,7 @@ def main() -> None:
         "lsh_fence_dropped_vecs": lsh_dropped,
         "near_dup_recall": near_dup_recall,
         "calib_sec": calib_sec,
+        "artifact_prebuild": artifact_prebuild,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

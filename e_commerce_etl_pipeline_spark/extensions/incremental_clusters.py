@@ -806,27 +806,46 @@ def near_dup_batch_delta(
     aff_rows = store.keyed_for_buckets(
         sorted(aff_tb), max_seq
     ).unionByName(batch_keyed).localCheckpoint()
-    aff_ids = sorted(
-        r["vec_id"]
-        for r in aff_rows.select("vec_id").distinct().collect()
+    n_aff = aff_rows.count()
+    if n_aff > member_cap:
+        raise ScaleFallback(f"{n_aff} affected-bucket rows")
+    # GROWN pass-1 family per affected row, DataFrame-side (the
+    # affected-row set can run to tens of thousands of ids — a driver
+    # roundtrip through literal IN-lists measured 20 s at sf1): one
+    # pruned-to-broadcast semi-join against the assignment rows, the
+    # composed store remap PLUS this batch's remap applied as a small
+    # broadcast relabel, this batch's new rows unioned, absent ids
+    # defaulting to themselves (singletons).
+    aff_ids_df = aff_rows.select("vec_id").distinct()
+    from .nd_store import _compose as _compose_remaps
+
+    rm_total = _compose_remaps(
+        store.composed_remap("p1", max_seq), p1_remap
     )
-    if len(aff_ids) > member_cap:
-        raise ScaleFallback(f"{len(aff_ids)} affected-bucket rows")
-    # GROWN pass-1 family per affected row: prior canonical relabeled
-    # through this batch's remap, new rows from this batch's additions
-    fam_prior = store.p1_lookup(
-        [i for i in aff_ids if i not in batch_ids], max_seq
+    prior_fam = store.assign_all_df("p1", max_seq).join(
+        F.broadcast(aff_ids_df), "vec_id", "left_semi"
     )
-    p1_new_map = dict(p1_new)
-    fam_rows = []
-    for v in aff_ids:
-        c = p1_new_map.get(v)
-        if c is None:
-            c = fam_prior.get(v, v)
-            c = p1_remap.get(c, c)
-        fam_rows.append((v, c))
-    fam_df = spark.createDataFrame(fam_rows, "vec_id bigint, __fam bigint")
-    keyed_fam = aff_rows.join(F.broadcast(fam_df), "vec_id")
+    if rm_total:
+        rm_df = spark.createDataFrame(
+            list(rm_total.items()), "__old bigint, __new bigint"
+        )
+        prior_fam = prior_fam.join(
+            F.broadcast(rm_df),
+            prior_fam.canonical_id == F.col("__old"), "left",
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+        )
+    fam_df = prior_fam.unionByName(
+        spark.createDataFrame(
+            p1_new or [], "vec_id bigint, canonical_id bigint"
+        )
+    ).withColumnRenamed("canonical_id", "__fam")
+    keyed_fam = aff_rows.join(F.broadcast(fam_df), "vec_id", "left").withColumn(
+        "__fam", F.coalesce(F.col("__fam"), F.col("vec_id"))
+    )
     p2_edges_df = S.chain_edges_arrow(
         S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
         S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
@@ -857,7 +876,7 @@ def near_dup_batch_delta(
             "touched_families": len(touched_canon),
             "touched_members": len(m_ids),
             "affected_buckets": len(aff_tb),
-            "affected_rows": len(aff_ids),
+            "affected_rows": n_aff,
         },
     }
 

@@ -102,6 +102,10 @@ _BASE_BLOCK_BYTES = 4 * 1024 * 1024
 # parquet IN-list pushdown gives up above this many values by default
 # (10); the store's bucket lists run to a few thousand
 _IN_THRESHOLD = 8192
+# above this many lookup ids, a broadcast semi-join beats the IN
+# literal tree (Catalyst plan build + py4j transfer scale with literal
+# count; the scan it avoids is narrow)
+_ISIN_MAX = 2048
 
 
 def _set_in_threshold(spark: SparkSession) -> None:
@@ -339,9 +343,14 @@ class NearDupStore:
             f"{d}/keyed"
         )
         for name, rows in (("p1_new", p1_new), ("final_new", final_new)):
+            # one-partition RDD instead of a local relation: the local-
+            # relation write path measured ~2.3 s per call even for
+            # hundreds of rows (plan-embedded data + write overheads);
+            # the RDD path is a single 0.3 s task
             self.spark.createDataFrame(
-                rows or [], "vec_id bigint, canonical_id bigint"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}")
+                self.spark.sparkContext.parallelize(rows or [], 1),
+                "vec_id bigint, canonical_id bigint",
+            ).write.mode("overwrite").parquet(f"{d}/{name}")
         fsops.write_text(
             f"{d}/meta.json",
             json.dumps({
@@ -386,30 +395,43 @@ class NearDupStore:
         paths = [self._base("keyed")] + self._seq_paths("keyed", max_seq)
         return self.spark.read.parquet(*paths).select(*KEYED_COLS)
 
-    @staticmethod
-    def _tb_pred(tbuckets: list[tuple[int, int]]):
-        """Exact (t, bucket) membership predicate, shaped so parquet
-        sees a plain ``bucket IN (...)`` it can prune row groups with
-        (the conjunct), refined by the per-table disjunction."""
-        by_t: dict[int, list[int]] = {}
-        for t, b in tbuckets:
-            by_t.setdefault(t, []).append(b)
-        all_buckets = sorted({b for _, b in tbuckets})
-        exact = None
-        for t, bs in sorted(by_t.items()):
-            c = (F.col("t") == t) & F.col("bucket").isin(bs)
-            exact = c if exact is None else exact | c
-        return F.col("bucket").isin(all_buckets) & exact
+    def _ids_filtered(
+        self, df: DataFrame, col: str, ids: list[int]
+    ) -> DataFrame:
+        """Point-lookup filter with a size switch: small lists become
+        IN predicates (parquet row-group pruning against the sorted
+        base); big lists become a broadcast semi-join (a giant IN's
+        literal tree costs more to plan than the full narrow scan it
+        would save — measured 20 s for 33k literals at sf1)."""
+        if len(ids) <= _ISIN_MAX:
+            return df.filter(F.col(col).isin(ids))
+        ids_df = self.spark.createDataFrame(
+            ((i,) for i in ids), f"{col} bigint"
+        )
+        return df.join(F.broadcast(ids_df), col, "left_semi")
 
     def keyed_for_buckets(
         self, tbuckets: list[tuple[int, int]], max_seq: int
     ) -> DataFrame:
         """ALL current rows of the given (t, bucket) groups — the
-        full-bucket member sets the chain kernel re-ranks. Pruned read:
-        bucket IN-list against the (t, bucket)-sorted base."""
+        full-bucket member sets the chain kernel re-ranks. One pruned
+        read per TABLE (t = leading sort key prunes to the table's
+        range; the per-table bucket IN-list stays small enough to push
+        down even when the combined list would not), unioned — the
+        per-table predicate is already exact, no residual join."""
         if not tbuckets:
             return self._keyed_all(max_seq).limit(0)
-        return self._keyed_all(max_seq).filter(self._tb_pred(tbuckets))
+        by_t: dict[int, list[int]] = {}
+        for t, b in tbuckets:
+            by_t.setdefault(t, []).append(b)
+        src = self._keyed_all(max_seq)
+        out = None
+        for t, bs in sorted(by_t.items()):
+            part = self._ids_filtered(
+                src.filter(F.col("t") == t), "bucket", sorted(set(bs))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def buckets_of(self, ids: list[int], max_seq: int) -> list[tuple[int, int]]:
         """(t, bucket) pairs holding any of ``ids`` — narrow pruned
@@ -418,14 +440,27 @@ class NearDupStore:
             return []
         paths = [self._base("keyed_idx")] + self._seq_paths("keyed", max_seq)
         rows = (
-            self.spark.read.parquet(*paths)
-            .select("vec_id", "t", "bucket")
-            .filter(F.col("vec_id").isin(ids))
+            self._ids_filtered(
+                self.spark.read.parquet(*paths)
+                .select("vec_id", "t", "bucket"),
+                "vec_id", ids,
+            )
             .select("t", "bucket")
             .distinct()
             .collect()
         )
         return [(r["t"], r["bucket"]) for r in rows]
+
+    def assign_all_df(self, which: str, max_seq: int) -> DataFrame:
+        """base ∪ delta rows with RAW (as-written) canonicals — callers
+        compose ``composed_remap`` on top (DataFrame-side relabel for
+        bulk consumers; _assign_lookup for bounded point-lookups)."""
+        base = "p1" if which == "p1" else "final"
+        paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
+        return self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
+
+    def composed_remap(self, which: str, max_seq: int) -> dict[int, int]:
+        return dict(self._composed(which, max_seq))
 
     def _assign_lookup(
         self, which: str, ids: list[int], max_seq: int
@@ -436,13 +471,11 @@ class NearDupStore:
         then the composed remap driver-side."""
         if not ids:
             return {}
-        base = "p1" if which == "p1" else "final"
-        paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
         raw = {
             r["vec_id"]: r["canonical_id"]
-            for r in self.spark.read.parquet(*paths)
-            .filter(F.col("vec_id").isin(ids))
-            .collect()
+            for r in self._ids_filtered(
+                self.assign_all_df(which, max_seq), "vec_id", ids
+            ).collect()
         }
         rm = self._composed(which, max_seq)
         return {v: rm.get(c, c) for v, c in raw.items()}
@@ -467,8 +500,10 @@ class NearDupStore:
         }
         paths = [self._base("p1_bycan")] + self._seq_paths("p1_new", max_seq)
         rows = (
-            self.spark.read.parquet(*paths)
-            .filter(F.col("canonical_id").isin(sorted(pre)))
+            self._ids_filtered(
+                self.spark.read.parquet(*paths), "canonical_id",
+                sorted(pre),
+            )
             .select("vec_id")
             .collect()
         )

@@ -1,23 +1,29 @@
-"""Incremental near-dup index maintenance bench (VERDICT r8 #4).
+"""Incremental near-dup index maintenance bench (VERDICT r8 #4, r9 #1-3).
 
-Measures per-batch wall time of incremental_near_dup_update on a real
-corpus, CHAINED (batch N's priors are batch N-1's outputs — the
-streaming shape), with the per-stage breakdown from
-incremental_clusters.LAST_TIMINGS so fixed overhead is profiled, not
-guessed. Batches are synthetic: BATCH_VECS stored vectors scaled x1.5
-(same direction → same buckets/signatures) re-identified above the
-stored max id, disjoint per batch.
+Measures per-batch wall time of near-dup index maintenance on a real
+corpus in three modes:
+
+- ``store`` (default, r10 — the production stream shape): the
+  appendable nd_store path. The corpus is COPIED to a work dir, the
+  store seeds once (off the per-batch clock — the stream does this at
+  start, VERDICT r9 #3), then every batch computes a bounded delta via
+  incremental_clusters.apply_batch_to_store AND appends to the corpus
+  table — so the corpus fingerprint changes per batch exactly like the
+  stream, and flat per-batch cost demonstrates the O(batch) claim.
+- ``frame``: the r9 chained frame path (batch N's priors are batch
+  N-1's in-memory outputs; fixed corpus snapshot) — the A/B baseline.
+- ``frame-append``: the r9 append mode (frame path + corpus appends),
+  kept to reproduce the keyed-corpus rebuild cost the store removes.
+
+Batches are synthetic: BATCH_VECS stored vectors scaled x1.5 (same
+direction -> same buckets/signatures) re-identified CONTIGUOUSLY above
+the stored max id (max_id + 1 + running index), so any batch count
+stays far below TWIN_OFFSET.
 
 Prints ONE JSON line; optional argv[3] writes it to a file.
 
-With a 4th arg ``append``, each batch is APPENDED to a working copy of
-the corpus between updates — the streaming shape, where the corpus
-fingerprint changes per batch and the persisted keyed corpus
-(nd_keyed_corpus) must rebuild, the dominant stream-mode overhead the
-fixed-corpus mode amortizes away.
-
 Usage: python tools/bench_incremental.py [SF_DIR] [N_BATCHES] [OUT_JSON]
-                                         [append]
+                                         [store|frame|frame-append]
 """
 
 from __future__ import annotations
@@ -37,6 +43,9 @@ from e_commerce_etl_pipeline_spark.extensions import (  # noqa: E402
     incremental_clusters as IC,
     similarity as S,
 )
+from e_commerce_etl_pipeline_spark.extensions.nd_store import (  # noqa: E402
+    NearDupStore,
+)
 from e_commerce_etl_pipeline_spark.plans.queries import load_table  # noqa: E402
 from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -47,18 +56,26 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     out_file = sys.argv[3] if len(sys.argv) > 3 else None
-    append_mode = len(sys.argv) > 4 and sys.argv[4] == "append"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "store"
+    assert mode in ("store", "frame", "frame-append"), mode
     spark = get_spark("bench_incremental")
 
-    if append_mode:
+    src_dir = sf_dir
+    if mode in ("store", "frame-append"):
+        import shutil
         import tempfile
 
-        work = tempfile.mkdtemp(prefix="inc_append_")
-        (
-            load_table(spark, sf_dir, "embeddings")
-            .write.parquet(f"{work}/embeddings.parquet")
+        # metadata-preserving copy (copy2 keeps mtimes): the corpus
+        # fingerprint of the copy then matches the source, so the
+        # stored full-build artifacts under <table>/_index ride along
+        # and the seed reuses them instead of re-running the 810 s
+        # (sf100) cluster build. Local-FS only — this is a bench rig.
+        work = tempfile.mkdtemp(prefix="inc_bench_")
+        shutil.copytree(
+            f"{sf_dir.rstrip('/')}/embeddings.parquet",
+            f"{work}/embeddings.parquet",
         )
-        sf_dir, src_dir = work, sf_dir
+        sf_dir = work
 
     max_id = S.corpus_max_vec_id(spark, sf_dir)
     seeds = (
@@ -68,43 +85,66 @@ def main() -> None:
         .limit(BATCH_VECS * n_batches)
         .collect()
     )
-    prior = S.near_dup_clusters(spark, sf_dir)
-    prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
-    n_prior = prior.count()
     bits = S.lsh_bits(S.corpus_count(spark, sf_dir))
 
-    batches = []
+    seed_sec = None
+    store = prior = prior_p1 = None
+    if mode == "store":
+        store = NearDupStore(spark, sf_dir, bits)
+        t0 = time.time()
+        store.seed()
+        seed_sec = round(time.time() - t0, 3)
+        n_prior = store.final_fold().count()
+        # warm the Arrow python-worker pool + kernel codegen off the
+        # per-batch clock (a long-lived stream pays this once at start;
+        # without it batch 1 reads ~1.4x the steady state for process
+        # reasons, not corpus-scan reasons)
+        S.chain_edges_arrow(
+            store.keyed_for_buckets(
+                [(0, 0)], store.latest_seq()
+            ),
+            ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS,
+        ).count()
+    else:
+        prior = S.near_dup_clusters(spark, sf_dir)
+        prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
+        n_prior = prior.count()
+
     per_batch = []
     for b in range(n_batches):
         rows = [
             (
-                int(r["vec_id"]) + (max_id + 1) * (b + 1),
+                max_id + 1 + b * BATCH_VECS + i,
                 [float(x) * 1.5 for x in r["embedding"]],
             )
-            for r in seeds[b * BATCH_VECS:(b + 1) * BATCH_VECS]
+            for i, r in enumerate(seeds[b * BATCH_VECS:(b + 1) * BATCH_VECS])
         ]
         batch = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
         ).localCheckpoint()  # batch construction off the clock
-        t0 = time.time()
-        grown, grown_p1 = IC.incremental_near_dup_update(
-            spark, sf_dir, batch, prior=prior, prior_p1=prior_p1,
-            bits=bits, check_ids=False, return_p1=True,
-        )
-        grown = grown.localCheckpoint()
-        # p1 was checkpointed inside the update; the final assignment's
-        # checkpoint above is the batch's real end state
-        n_assigned = grown.count()
-        sec = time.time() - t0
-        per_batch.append({
-            "sec": round(sec, 3),
-            "n_assigned": n_assigned,
-            "stages": {k: round(v, 3) for k, v in IC.LAST_TIMINGS.items()},
-        })
-        prior, prior_p1 = grown, grown_p1
-        if append_mode:
-            # the streaming step 3: the batch joins the stored corpus,
-            # invalidating the keyed-corpus cache for the next batch
+        entry: dict = {}
+        if mode == "store":
+            t0 = time.time()
+            res = IC.apply_batch_to_store(spark, store, batch)
+            entry["sec"] = round(time.time() - t0, 3)
+            entry["stats"] = res.get("stats")
+            entry["stages"] = {
+                k: round(v, 3) for k, v in IC.LAST_TIMINGS.items()
+            }
+        else:
+            t0 = time.time()
+            grown, grown_p1 = IC.incremental_near_dup_update(
+                spark, sf_dir, batch, prior=prior, prior_p1=prior_p1,
+                bits=bits, check_ids=False, return_p1=True,
+            )
+            grown = grown.localCheckpoint()
+            entry["n_assigned"] = grown.count()
+            entry["sec"] = round(time.time() - t0, 3)
+            entry["stages"] = {
+                k: round(v, 3) for k, v in IC.LAST_TIMINGS.items()
+            }
+            prior, prior_p1 = grown, grown_p1
+        if mode in ("store", "frame-append"):
             t_a = time.time()
             emb_type = (
                 spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -114,24 +154,33 @@ def main() -> None:
                 F.col("vec_id"),
                 F.col("embedding").cast(emb_type).alias("embedding"),
             ).write.mode("append").parquet(f"{sf_dir}/embeddings.parquet")
-            per_batch[-1]["append_sec"] = round(time.time() - t_a, 3)
-        batches.append(batch)
-        print(f"# batch {b}: {sec:.2f}s assigned {n_assigned}",
-              file=sys.stderr, flush=True)
+            entry["append_sec"] = round(time.time() - t_a, 3)
+        per_batch.append(entry)
+        print(f"# batch {b}: {entry['sec']:.2f}s", file=sys.stderr, flush=True)
+
+    if mode == "store":
+        # the maintained index must cover prior + every batch corpus row
+        n_assigned = store.final_fold().count()
+        expect = n_prior + 2 * BATCH_VECS * n_batches
+        assert n_assigned == expect, (n_assigned, expect)
 
     out = {
-        "metric": ("near_dup_incremental_append"
-                   if append_mode else "near_dup_incremental_chained"),
+        "metric": {
+            "store": "near_dup_incremental_store",
+            "frame": "near_dup_incremental_chained",
+            "frame-append": "near_dup_incremental_append",
+        }[mode],
         "sf_dir": sf_dir,
         "corpus_vecs": S.corpus_count(spark, sf_dir),
         "prior_assignment_rows": n_prior,
         "batch_vecs": BATCH_VECS,
         "n_batches": n_batches,
+        "seed_sec": seed_sec,
         "per_batch": per_batch,
         "median_sec": sorted(p["sec"] for p in per_batch)[len(per_batch) // 2],
     }
     from tools.provenance import sf_provenance
-    out["provenance"] = sf_provenance(src_dir if append_mode else sf_dir)
+    out["provenance"] = sf_provenance(src_dir)
     line = json.dumps(out)
     if out_file:
         with open(out_file, "w") as fh:
