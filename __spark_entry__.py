@@ -44,8 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from e_commerce_etl_pipeline_spark.plans.queries import QUERIES as _CORE  # noqa: E402
 from e_commerce_etl_pipeline_spark.extensions import ALL_EXT_QUERIES  # noqa: E402
 from e_commerce_etl_pipeline_spark.sources.landing import LANDING_QUERIES  # noqa: E402
+from e_commerce_etl_pipeline_spark.streaming.state_queries import (  # noqa: E402
+    STREAM_STATE_QUERIES,
+)
 
-_ALL = {**_CORE, **ALL_EXT_QUERIES, **LANDING_QUERIES}
+_ALL = {**_CORE, **ALL_EXT_QUERIES, **LANDING_QUERIES, **STREAM_STATE_QUERIES}
 
 # Graded-window priority: flagship analytics, every extension operator,
 # then reference-parity core operators (SURVEY §2 line items).
@@ -143,6 +146,13 @@ _PRIORITY = [
     "cube_sales", "pivot_status_by_priority",
     "sessionize_events", "events_hourly_windows",
     "user_value_median_pandas",
+    # r10 (VERDICT r9 #6): drained-stream END STATES, oracle-checked —
+    # each drives the real Structured Streaming path over a
+    # deterministic batch split and compares the final store to an
+    # ANSI-SQL restatement (full-sweep verified; out-of-window since
+    # each costs a full stream drain per invocation).
+    "stream_span_dedup_state", "stream_quality_state",
+    "stream_token_state", "stream_upsert_state",
 ]
 
 QUERIES = {name: _ALL[name] for name in _PRIORITY}

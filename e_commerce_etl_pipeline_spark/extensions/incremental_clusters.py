@@ -652,10 +652,13 @@ EXT_QUERIES = {
 # rows) instead of corpus-sized frames — per-batch work is then
 # proportional to touched buckets and families, never the corpus.
 
-# driver-side bound on the touched-family member set and on the
-# affected-bucket row set; above it the batch is not a micro-batch
+# driver-side bound on the touched-family member id set (collected for
+# bucket lookups); above it the batch is not a micro-batch
 # (backfill-scale) and the distributed frame path + base rewrite runs
 STORE_MEMBER_CAP = 2_000_000
+# the affected-bucket ROW set stays distributed (checkpointed wide rows
+# + kernel input, never collected) so its cap only fences runaways
+STORE_AFF_ROWS_CAP = 16_000_000
 
 
 class ScaleFallback(Exception):
@@ -754,7 +757,10 @@ def near_dup_batch_delta(
         for r in batch_keyed.select("t", "bucket").distinct().collect()
     ]
     # ---- pass-1 increment: full-bucket chain edges, new-member only --
-    members = store.keyed_for_buckets(tb, max_seq)
+    # checkpointed because pass 2 re-reads almost exactly this row set
+    # (the affected buckets are mostly the batch buckets): one pruned
+    # wide read per batch, not two
+    members = store.keyed_for_buckets(tb, max_seq).localCheckpoint()
     edges_df = S.chain_edges_arrow(
         members.unionByName(batch_keyed), ["t", "bucket"],
         S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS,
@@ -803,11 +809,14 @@ def near_dup_batch_delta(
     if len(m_ids) > member_cap:
         raise ScaleFallback(f"{len(m_ids)} touched family members")
     aff_tb = set(store.buckets_of(sorted(m_ids), max_seq)) | set(tb)
-    aff_rows = store.keyed_for_buckets(
-        sorted(aff_tb), max_seq
-    ).unionByName(batch_keyed).localCheckpoint()
+    extra_tb = sorted(aff_tb - set(tb))
+    aff_rows = (
+        members.unionByName(store.keyed_for_buckets(extra_tb, max_seq))
+        .unionByName(batch_keyed)
+        .localCheckpoint()
+    )
     n_aff = aff_rows.count()
-    if n_aff > member_cap:
+    if n_aff > STORE_AFF_ROWS_CAP:
         raise ScaleFallback(f"{n_aff} affected-bucket rows")
     # GROWN pass-1 family per affected row, DataFrame-side (the
     # affected-row set can run to tens of thousands of ids — a driver
@@ -846,21 +855,106 @@ def near_dup_batch_delta(
     keyed_fam = aff_rows.join(F.broadcast(fam_df), "vec_id", "left").withColumn(
         "__fam", F.coalesce(F.col("__fam"), F.col("vec_id"))
     )
+    # the kernel output is NARROW (two longs/edge) — checkpoint it so
+    # the contraction, endpoint and count actions below read the
+    # materialized edges instead of re-running the wide kernel
     p2_edges_df = S.chain_edges_arrow(
         S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
         S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
+    ).localCheckpoint()
+    n_p2 = p2_edges_df.count()
+    # Contract BEFORE collecting (clone-heavy corpora emit hundreds of
+    # thousands of verified pass-2 edges per batch, but almost all of
+    # them connect already-co-clustered members and contract to
+    # self-loops): relabel each endpoint to its CURRENT final
+    # canonical DataFrame-side, drop self-loops, dedupe — the driver
+    # only ever sees the contracted graph, whose size is bounded by
+    # touched families + batch, never by clone mass. Exact: min-label
+    # over the contracted graph equals min-label over the full graph
+    # (a prior canonical is the min id of its cluster), which is the
+    # same contraction _uf_deltas applies — just moved into the plan.
+    # Every edge endpoint (pass 1 and pass 2) is a member of an
+    # affected bucket or of the batch, so one cid map over the
+    # affected universe covers both edge sets.
+    p1e_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(p1_edge_rows or [], 1),
+        "src bigint, dst bigint",
     )
-    p2_edge_rows = [(r["src"], r["dst"]) for r in p2_edges_df.collect()]
-    all_edges = p1_edge_rows + p2_edge_rows
-    if len(all_edges) > driver_cc_max_edges:
-        raise ScaleFallback(f"{len(all_edges)} total edges")
+    all_e = p1e_df.unionByName(p2_edges_df)
+    final_map = store.assign_all_df("final", max_seq).join(
+        F.broadcast(aff_ids_df), "vec_id", "left_semi"
+    )
+    frm = store.composed_remap("final", max_seq)
+    if frm:
+        frm_df = spark.createDataFrame(
+            list(frm.items()), "__old bigint, __new bigint"
+        )
+        final_map = final_map.join(
+            F.broadcast(frm_df),
+            final_map.canonical_id == F.col("__old"), "left",
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+        )
+    final_map = final_map.localCheckpoint()
+    contracted = (
+        all_e.join(
+            final_map.select(
+                F.col("vec_id").alias("src"),
+                F.col("canonical_id").alias("__cs"),
+            ),
+            "src", "left",
+        )
+        .join(
+            final_map.select(
+                F.col("vec_id").alias("dst"),
+                F.col("canonical_id").alias("__cd"),
+            ),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce(F.col("__cs"), F.col("src")).alias("src"),
+            F.coalesce(F.col("__cd"), F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    c_rows = [(r["src"], r["dst"]) for r in contracted.collect()]
+    if len(c_rows) > driver_cc_max_edges:
+        raise ScaleFallback(f"{len(c_rows)} contracted edges")
+    # classify the contracted nodes with ONE bounded point-lookup: a
+    # non-batch contracted node is by construction either a current
+    # prior canonical (present in the assignment, mapping to itself) or
+    # a prior-absent old endpoint (an absorbed singleton that must gain
+    # an assignment row)
+    c_nodes = sorted(
+        {e for pair in c_rows for e in pair} - batch_ids
+    )
+    ncid = store.final_lookup(c_nodes, max_seq)
+    prior_canon = {n for n in c_nodes if n in ncid}
+    absorbed = [n for n in c_nodes if n not in ncid]
     timings["p2_edges"] = time.time() - _t
     _t = time.time()
 
-    # ---- final: grow through both edge sets --------------------------
-    f_old = sorted({e for pair in all_edges for e in pair} - batch_ids)
-    f_cid = store.final_lookup(f_old, max_seq)
-    final_remap, final_new = _uf_deltas(all_edges, f_cid, batch_ids, f_old)
+    # ---- final: grow through the contracted graph --------------------
+    uf = _UnionFind()
+    for s, d in c_rows:
+        uf.union(s, d)
+    for b in batch_ids:
+        uf.add(b)
+    final_remap: dict[int, int] = {}
+    for c in prior_canon:
+        uf.add(c)
+        r = uf.find(c)
+        if r != c:
+            final_remap[c] = r
+    for o in absorbed:
+        uf.add(o)
+    final_new = [(b, uf.find(b)) for b in sorted(batch_ids)] + [
+        (o, uf.find(o)) for o in absorbed
+    ]
     timings["grow_final"] = time.time() - _t
     LAST_TIMINGS.clear()
     LAST_TIMINGS.update(timings)
@@ -872,7 +966,8 @@ def near_dup_batch_delta(
         "final_new": final_new,
         "stats": {
             "p1_edges": len(p1_edge_rows),
-            "p2_edges": len(p2_edge_rows),
+            "p2_edges": n_p2,
+            "contracted_edges": len(c_rows),
             "touched_families": len(touched_canon),
             "touched_members": len(m_ids),
             "affected_buckets": len(aff_tb),

