@@ -65,18 +65,25 @@ against a from-scratch rebuild):
   transitivity semantics the full build has, evaluated on a growing
   edge set.
 
-Scale shape: per-batch cost = ONE wide scan of the base corpus that
-derives every table's bucket in a single exploded projection (the
-chain signature / projection expressions and all window + cosine work
-run only on AFFECTED-bucket rows, post-filter), an iterative
-components pass sized by the BATCH (contracted graph), and two O(n)
-NARROW scans of the prior (vec_id, canonical_id) assignment
-(canonical lookup + broadcast relabel, both shuffle-free map-side
-joins). The one full wide scan exists to re-derive buckets; a
-deployment that lays the embedding table out bucket-partitioned (or
-persists a narrow (vec_id, t, bucket) index) turns it into a pruned
-read of affected buckets only — the compute shape here is already
-filter-first, so that swap changes I/O, not the plan.
+TWO implementations share that algorithm (r10):
+
+- ``incremental_near_dup_update`` — the FRAME path: priors are
+  DataFrames, the keyed corpus is the per-snapshot cache, the grown
+  assignments come back as full frames. Per-batch cost carries O(n)
+  narrow scans (canonical lookup + broadcast relabel) and, in append
+  mode, the keyed-corpus cache rebuild. Right for one-shot grows and
+  as the distributed fallback for backfill-scale batches.
+- ``near_dup_batch_delta`` / ``apply_batch_to_store`` — the STORE
+  path (extensions.nd_store): every read is a pruned store lookup
+  (bucket IN-lists against the sorted keyed base, id lookups against
+  generation-cached narrow bases), clone-mass pass-2 edges contract
+  to canonicals IN THE PLAN before the driver sees them, and the
+  outputs are bounded deltas (remap dicts + new rows) — per-batch
+  work is proportional to the batch's touched buckets and families,
+  never the corpus. This is what near_dup_index_stream runs;
+  tests/test_nd_store.py asserts exact assignment equality between
+  the two paths (single batch, chained, post-compaction, and through
+  the fallback).
 
 Reference behavior parity: the reference maintains its warehouse
 incrementally (15-minute change windows) rather than re-extracting the

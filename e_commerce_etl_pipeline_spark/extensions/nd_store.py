@@ -100,12 +100,18 @@ _BASE_ROWS_PER_FILE = 250_000
 # one group per file and nothing to prune)
 _BASE_BLOCK_BYTES = 4 * 1024 * 1024
 # parquet IN-list pushdown gives up above this many values by default
-# (10); the store's bucket lists run to a few thousand
-_IN_THRESHOLD = 8192
+# (10). Spark pushes an IN as a LINEAR or(eq, or(eq, ...)) chain and
+# parquet-mr evaluates it recursively, so the list size bounds the
+# filter-eval stack depth — a ~3k-value list overflowed executor
+# stacks on the 25-batch heavy-corpus probe. 1024 prunes real batches
+# and stays ~30x under the default 1 MiB thread stack.
+_IN_THRESHOLD = 1024
 # above this many lookup ids, a broadcast semi-join beats the IN
 # literal tree (Catalyst plan build + py4j transfer scale with literal
-# count; the scan it avoids is narrow)
-_ISIN_MAX = 2048
+# count; the scan it avoids is narrow) — and keeps every pushed IN
+# within _IN_THRESHOLD, so no filter ever reaches parquet's recursive
+# evaluator oversized
+_ISIN_MAX = 1024
 
 
 def _set_in_threshold(spark: SparkSession) -> None:

@@ -40,9 +40,12 @@ from e_commerce_etl_pipeline_spark.extensions.tokenizer import (  # noqa: E402
 )
 from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
 
-N_DOCS = 20_000
+# ~150k distinct words (Heaps-law low-mid range; the pure-Python exact
+# trainer's per-merge cost scales with the words containing the merged
+# pair, and a 300k-word vocabulary put 32k merges past a bench budget)
+N_DOCS = 10_000
 WORDS_PER_DOC = 200
-VMAX = 1 << 20
+VMAX = 1 << 18
 SYLLABLES = [
     "ba", "ri", "ko", "ta", "mu", "se", "lo", "vi", "ne", "du",
     "pa", "ki", "fo", "ga", "he", "ju", "wa", "xe", "yo", "zu",
@@ -132,9 +135,12 @@ def main() -> None:
     total_chars = sum(n * len(w) for w, n in wc_rows)
 
     # 32k exact sequential merges, incremental pair statistics
+    print(f"# vocab {n_vocab}, starting {n_merges} merges", file=sys.stderr,
+          flush=True)
     t0 = time.time()
     merges, tok_of = _train_driver(wc_rows, n_merges)
     train_sec = round(time.time() - t0, 3)
+    print(f"# merges done in {train_sec}s", file=sys.stderr, flush=True)
     tokens_bpe = sum(
         dict(wc_rows)[w] * t for w, t in tok_of.items()
     )
