@@ -319,3 +319,69 @@ def test_seq_replay_after_crash_before_corpus_append(spark, sf_dir, tmp_path):
     new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
     got = {r["vec_id"] for r in stored.select("vec_id").collect()}
     assert new_ids <= got
+
+
+def test_streamed_index_supersets_rebuild_on_clone_heavy_corpus(
+    spark, tmp_path
+):
+    """The r9 superset test ran on the clean sf0.001 corpus; the heavy
+    (clone-mass) geometry is where the r8/r9 recall work happened, so
+    the guarantee must hold there too: stream a held-out slice of a
+    clone-heavy corpus through the store-backed path and assert every
+    pair the full rebuild of the grown corpus co-clusters is
+    co-clustered by the streamed assignment. Clone families (no drift
+    chains) keep every intra-family pair chain-adjacent, so the strict
+    pair superset applies — the drift-chain pass-2 rebuild-comparison
+    corner (2 of 148k clusters at sf10-heavy, identical under the r9
+    frame path; PROBE_incremental_recall_sf10heavy_r10.json and
+    docs/SCALE.md) is exercised by the committed probe instead."""
+    import numpy as np
+
+    from e_commerce_etl_pipeline_spark.extensions import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = {}
+    vid = 0
+    for fam in range(24):
+        base = rng.standard_normal(S.DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(40):  # 40 near-identical clones per family
+            noise = rng.standard_normal(S.DIM) * 2e-4
+            vecs[vid] = base + noise
+            vid += 1
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    all_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    w, s = str(tmp_path / "w"), str(tmp_path / "s")
+    os.makedirs(s)
+    all_df.filter(F.col("vec_id") % 8 != 3).coalesce(1).write.parquet(
+        f"{w}/embeddings.parquet"
+    )
+    grown_dir = str(tmp_path / "grown")
+    all_df.coalesce(1).write.parquet(f"{grown_dir}/embeddings.parquet")
+    held = all_df.filter(F.col("vec_id") % 8 == 3)
+    for i in range(3):
+        _one_file_batch(
+            held.filter(F.col("vec_id") % 3 == i),
+            str(tmp_path / f"st{i}"), s, f"batch_{i}.parquet",
+        )
+    q = near_dup_index_stream(
+        spark,
+        spark.readStream.schema(all_df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s),
+        w, checkpoint_dir=f"{w}/_ckpt",
+    )
+    q.awaitTermination(600)
+    streamed = _groups(read_assignment(spark, w))
+    full = _groups(
+        __import__(
+            "e_commerce_etl_pipeline_spark.extensions.similarity",
+            fromlist=["near_dup_clusters"],
+        ).near_dup_clusters(spark, grown_dir)
+    )
+    assert set(full) <= set(streamed), "coverage lost in the stream"
+    missing = _co_pairs(full) - _co_pairs(
+        {v: c for v, c in streamed.items() if v in full}
+    )
+    assert not missing, f"rebuild pairs lost: {sorted(missing)[:5]}"
