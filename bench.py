@@ -169,7 +169,22 @@ def main() -> None:
     # regression tracking covers the full surface (VERDICT r4 item 7). Tail
     # failures are recorded separately and do NOT invalidate the headline
     # metric — the headline series must stay comparable across rounds.
-    tail_names = [n for n in queries if n not in set(HEADLINE)]
+    # The drained-stream end-state entries run a full Structured
+    # Streaming lifecycle per invocation (file source + checkpoint +
+    # availableNow drain into a fresh temp work dir) — they measure
+    # trigger/sink machinery, not a query plan, and they cost the same
+    # 5-27 s on every "warm" repeat. Excluding them keeps the timed
+    # registry at the SAME 120 entries as the r9 series (comparable
+    # totals); their correctness is still graded by the driver's
+    # oracle gate and the full sweep like every other entry.
+    stream_drains = {
+        "stream_span_dedup_state", "stream_quality_state",
+        "stream_token_state", "stream_upsert_state",
+    }
+    tail_names = [
+        n for n in queries
+        if n not in set(HEADLINE) and n not in stream_drains
+    ]
     tail_timings: dict[str, float] = {}
     tail_warm: dict[str, float] = {}
     tail_errors: dict[str, str] = {}
@@ -256,6 +271,7 @@ def main() -> None:
         "near_dup_recall": near_dup_recall,
         "calib_sec": calib_sec,
         "artifact_prebuild": artifact_prebuild,
+        "untimed_stream_drains": sorted(stream_drains),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
