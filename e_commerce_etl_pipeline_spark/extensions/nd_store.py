@@ -115,24 +115,45 @@ _ISIN_MAX = 1024
 
 
 def _set_in_threshold(spark: SparkSession) -> None:
+    """Raise the parquet IN-pushdown threshold for the MAINTENANCE
+    session. Called from the store methods that build IN-pushdown
+    reads (not from ``__init__``: a session that merely reads the
+    maintained assignment — read_assignment/final_fold, which use
+    broadcast remap joins, never IN-lists — must not have its global
+    parquet behavior changed as a constructor side effect, ADVICE r10
+    #4). The setting persists for the maintenance session because the
+    frames those methods return are lazy — it must still be in force
+    when the batch's counts/collects execute."""
     spark.conf.set(
         "spark.sql.parquet.pushdown.inFilterThreshold", str(_IN_THRESHOLD)
     )
 
 
 def batch_fingerprint(batch_df: DataFrame) -> str:
-    """Deterministic content fingerprint of a batch's id set — one
-    narrow aggregate (no collect of the ids). Used to recognize a
-    replayed batch whose seq dir landed before a crash."""
+    """Deterministic content fingerprint of a batch — one narrow
+    aggregate (no collect of the ids). Used to recognize a replayed
+    batch whose seq dir landed before a crash. Besides the id-set
+    statistics, it folds in a CONTENT term (order-independent exact
+    sum of per-row xxhash64 over id+embedding — decimal so a huge
+    batch can't overflow ANSI long sums): a redelivery carrying the
+    same ids but rewritten embeddings must be detected as a NEW batch,
+    not skipped as a replay, or the index silently diverges from the
+    corpus (ADVICE r10 #3)."""
     row = batch_df.agg(
         F.count("*").alias("n"),
         F.min("vec_id").alias("lo"),
         F.max("vec_id").alias("hi"),
         F.sum("vec_id").alias("s"),
         F.sum(F.col("vec_id") * F.col("vec_id")).alias("s2"),
+        F.sum(
+            F.xxhash64(F.col("vec_id"), F.col("embedding")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ch"),
     ).first()
     return hashlib.sha1(
-        f"{row['n']}|{row['lo']}|{row['hi']}|{row['s']}|{row['s2']}".encode()
+        f"{row['n']}|{row['lo']}|{row['hi']}|{row['s']}|{row['s2']}"
+        f"|{row['ch']}".encode()
     ).hexdigest()
 
 
@@ -159,13 +180,20 @@ class NearDupStore:
         self._composed_cache: dict[tuple[str, int], dict[int, int]] = {}
         self._root_meta_cache: dict | None = None
         self._narrow_cache: dict[tuple[int, str], DataFrame] = {}
-        _set_in_threshold(spark)
 
     # ---- root meta / layout helpers -------------------------------------
     def _root_meta(self) -> dict | None:
         if self._root_meta_cache is None:
             txt = fsops.read_text(f"{self.root}/_META", self.spark)
-            self._root_meta_cache = json.loads(txt) if txt else {}
+            try:
+                self._root_meta_cache = json.loads(txt) if txt else {}
+            except ValueError:
+                # unparsable commit marker = incomplete state, not a
+                # reader crash: _META is written atomically, so this
+                # means external corruption — treat as unseeded (the
+                # stream re-seeds from the full build, which is the
+                # correct recovery) rather than failing every reader
+                self._root_meta_cache = {}
         return self._root_meta_cache or None
 
     def is_seeded(self) -> bool:
@@ -234,6 +262,7 @@ class NearDupStore:
         last_fp: str | None = None,
     ) -> None:
         meta = self._root_meta()
+        prev_upto = meta["upto_seq"] if meta else -1
         gen = (meta["gen"] + 1) if meta else 1
         gdir = f"{self.root}/g={gen}"
         n_keyed = keyed.count()
@@ -255,8 +284,11 @@ class NearDupStore:
         self._sorted_write(
             final.select(*ASSIGN_COLS), f"{gdir}/final", na, ["vec_id"]
         )
-        # the commit point: readers switch generations here or never
-        fsops.write_text(
+        # the commit point: readers switch generations here or never —
+        # written ATOMICALLY (temp + rename): a crash mid-write must
+        # leave the OLD complete _META, not an empty/partial file that
+        # reads as "not seeded" and discards the grown state
+        fsops.write_text_atomic(
             f"{self.root}/_META",
             json.dumps({
                 "bits": self.bits, "gen": gen,
@@ -270,16 +302,23 @@ class NearDupStore:
         )
         self._root_meta_cache = None
         self._composed_cache.clear()
-        self._gc(gen, upto)
+        self._gc(gen, prev_upto)
 
-    def _gc(self, gen: int, upto: int) -> None:
-        """Best-effort removal of superseded generations and folded
-        seq dirs — retried implicitly at the next commit."""
+    def _gc(self, gen: int, prev_upto: int) -> None:
+        """Best-effort removal of SUPERSEDED-TWICE state — retried
+        implicitly at the next commit. Keeps the immediately-previous
+        generation AND the seq dirs its readers fold (seqs >
+        ``prev_upto``): the class contract allows concurrent readers,
+        and a lazily-built fold that resolved paths against gen N-1
+        may execute after this commit (ADVICE r10 #5 — the prior
+        versioned-assignment scheme kept latest-two for the same
+        reason). Deleted here: generations ≤ N-2 and seqs folded into
+        BOTH live generations."""
         try:
             for name in self._children():
-                if name.startswith("g=") and int(name[2:]) != gen:
+                if name.startswith("g=") and int(name[2:]) < gen - 1:
                     fsops.delete(f"{self.root}/{name}", self.spark)
-                elif name.startswith("s=") and int(name[2:]) <= upto:
+                elif name.startswith("s=") and int(name[2:]) <= prev_upto:
                     fsops.delete(f"{self.root}/{name}", self.spark)
                     self._meta_cache.pop(int(name[2:]), None)
         except Exception:  # noqa: BLE001 — GC must never fail a commit
@@ -303,7 +342,13 @@ class NearDupStore:
         txt = fsops.read_text(f"{self._seq_dir(seq)}/meta.json", self.spark)
         if txt is None:
             return None
-        meta = json.loads(txt)
+        try:
+            meta = json.loads(txt)
+        except ValueError:
+            # meta.json is written atomically, so a parse failure means
+            # external corruption — treat the seq as INCOMPLETE (same
+            # as absent: invisible to readers, overwritten by replay)
+            return None
         self._meta_cache[seq] = meta
         return meta
 
@@ -358,7 +403,7 @@ class NearDupStore:
                 self.spark.sparkContext.parallelize(rows or [], 1),
                 "vec_id bigint, canonical_id bigint",
             ).write.mode("overwrite").parquet(f"{d}/{name}")
-        fsops.write_text(
+        fsops.write_text_atomic(
             f"{d}/meta.json",
             json.dumps({
                 "seq": seq,
@@ -449,6 +494,10 @@ class NearDupStore:
         literal tree costs more to plan than the full narrow scan it
         would save — measured 20 s for 33k literals at sf1)."""
         if len(ids) <= _ISIN_MAX:
+            # the pushdown threshold must be in force when this lazy
+            # read EXECUTES — set it here (the maintenance session's
+            # conf), never in __init__ (reader sessions stay untouched)
+            _set_in_threshold(self.spark)
             return df.filter(F.col(col).isin(ids))
         ids_df = self.spark.createDataFrame(
             ((i,) for i in ids), f"{col} bigint"

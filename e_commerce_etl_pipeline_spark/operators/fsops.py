@@ -186,3 +186,55 @@ def write_text(
         out.write(content.encode("utf-8"))
     finally:
         out.close()
+
+
+def write_text_atomic(
+    path_str: str, content: str, spark: SparkSession | None = None
+) -> None:
+    """Write a small text file via temp + rename-into-place, so a
+    reader sees either the OLD complete content or the NEW complete
+    content — never a created-then-truncated or half-written file.
+    ``write_text`` creates/truncates in place, which is fine for probe
+    files and markers whose absence is harmless, but NOT for commit
+    points (nd_store ``_META``/``meta.json``): a crash mid-write there
+    would leave an empty/partial file that reads as "not seeded" or
+    fails to parse (ADVICE r10 #1). Rename is atomic on POSIX and HDFS;
+    object stores emulate it per-object (single small file)."""
+    spark = _active_spark(spark)
+    if spark is None:
+        p = _local_path(path_str)
+        tmp = p + ".__tmp__"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        return
+    fs, jpath, jvm = _hadoop(spark, path_str)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(path_str + ".__tmp__")
+    out = fs.create(tmp_path, True)
+    try:
+        out.write(content.encode("utf-8"))
+    finally:
+        out.close()
+    # rename-with-overwrite: FileContext exposes the atomic variant the
+    # FileSystem API hides; fall back to delete+rename for FS impls
+    # without a FileContext binding (the fallback's unprotected window
+    # is the delete→rename gap — still strictly smaller than in-place
+    # truncate+write, and the tmp file survives for manual recovery)
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        overwrite = spark._sc._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(tmp_path, jpath, overwrite)
+    except Exception:  # noqa: BLE001 — FS without FileContext support
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        if not fs.rename(tmp_path, jpath):
+            raise RuntimeError(
+                f"atomic rename failed: {path_str}.__tmp__ -> {path_str}"
+            )

@@ -185,13 +185,21 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(
         spark, orders, table, ["o_orderkey"], "o_orderdate",
     )
-    _one_file_batches(
-        [
-            src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i)
-            for i in range(2)
-        ],
-        f"{root}/src",
-    )
+    # key-disjoint split that actually SPLITS: every change key is a
+    # multiple of 10 (and its negation), so pmod(key, 2) would put the
+    # whole set in batch 0 and never exercise the cross-batch
+    # composition this entry exists to verify (ADVICE r10 #2) — split
+    # on the tens digit's parity instead, and refuse an empty batch
+    batches = [
+        src.filter(
+            F.pmod((F.abs(F.col("o_orderkey")) / 10).cast("bigint"), F.lit(2))
+            == i
+        )
+        for i in range(2)
+    ]
+    for i, b in enumerate(batches):
+        assert not b.isEmpty(), f"stream_upsert_state: batch {i} is empty"
+    _one_file_batches(batches, f"{root}/src")
     _drain(
         spark, src.schema, f"{root}/src",
         lambda s, ck: incremental_upsert_stream(
