@@ -764,9 +764,10 @@ def near_dup_batch_delta(
         for r in batch_keyed.select("t", "bucket").distinct().collect()
     ]
     # ---- pass-1 increment: full-bucket chain edges, new-member only --
-    # checkpointed because pass 2 re-reads almost exactly this row set
-    # (the affected buckets are mostly the batch buckets): one pruned
-    # wide read per batch, not two
+    # the ONE member-row read of the whole batch (r11): pass 1 needs
+    # the batch buckets' full chain order; pass 2 below reads only
+    # stored BOUNDARY rows. Checkpointed: the kernel consumes it twice
+    # (edge build + count)
     members = store.keyed_for_buckets(tb, max_seq).localCheckpoint()
     edges_df = S.chain_edges_arrow(
         members.unionByName(batch_keyed), ["t", "bucket"],
@@ -808,68 +809,95 @@ def near_dup_batch_delta(
     timings["grow_p1"] = time.time() - _t
     _t = time.time()
 
-    # ---- pass-2 increment: touched families -> affected buckets ------
+    # ---- pass-2 increment: touched families -> boundary corpus -------
     # touched PRIOR canonicals: the family of every old endpoint
     # (ADVICE r9 #1 — map members to canonicals, then enumerate)
     touched_canon = {p1_cid.get(o, o) for o in old_ids}
-    m_ids = set(store.p1_members(touched_canon, max_seq)) | touched_canon
-    if len(m_ids) > member_cap:
-        raise ScaleFallback(f"{len(m_ids)} touched family members")
-    aff_tb = set(store.buckets_of(sorted(m_ids), max_seq)) | set(tb)
-    extra_tb = sorted(aff_tb - set(tb))
-    aff_rows = (
-        members.unionByName(store.keyed_for_buckets(extra_tb, max_seq))
-        .unionByName(batch_keyed)
+    # POST-batch family labels for stored rows: this batch's pass-1
+    # remap PLUS the absorbed old singletons it assigned (an absorbed
+    # singleton's stored boundary group __fam = its own id changes
+    # label without appearing in the remap — it was never a prior
+    # canonical)
+    old_id_set = set(old_ids)
+    post_fam = dict(p1_remap)
+    for v, c in p1_new:
+        if v in old_id_set and v != c:
+            post_fam[v] = c
+    # r11 (VERDICT r10 #6): pass 2 runs over the STORED boundary
+    # corpus, never the member rows. A family has a boundary row in
+    # every bucket it has a member in (the group's first member), so
+    # boundary-bucket coverage equals member-bucket coverage — the
+    # touched families' boundary rows locate the affected buckets AND
+    # are exactly the old-part candidates the boundary recompute needs
+    # (p2_boundary_rows' closure property). Per-batch pass-2 cost is
+    # proportional to touched-family boundary mass, not membership.
+    tf_bnd = store.p2b_for_fams(
+        touched_canon, max_seq, post_remap=post_fam
+    ).localCheckpoint()
+    n_tf = tf_bnd.count()
+    if n_tf > member_cap:
+        raise ScaleFallback(f"{n_tf} touched-family boundary rows")
+    tb_tf = {
+        (r["t"], r["bucket"])
+        for r in tf_bnd.select("t", "bucket").distinct().collect()
+    }
+    aff_tb = tb_tf | set(tb)
+    ctx = store.p2b_for_buckets(
+        sorted(aff_tb), max_seq, post_remap=post_fam
+    ).localCheckpoint()
+    # changed groups: touched families (post-batch labels) + the
+    # batch's own families; everything else in the affected buckets
+    # kept its exact boundary row set (membership unchanged)
+    changed = sorted(
+        {post_fam.get(c, c) for c in touched_canon}
+        | {c for _, c in p1_new}
+    )
+    changed_df = spark.createDataFrame(
+        [(c,) for c in changed] or [], "__fam bigint"
+    )
+    batch_fam = spark.createDataFrame(
+        p1_new or [], "vec_id bigint, __fam bigint"
+    )
+    batch_keyed_fam = batch_keyed.join(
+        F.broadcast(batch_fam), "vec_id", "left"
+    ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    from .nd_store import P2B_COLS
+
+    cands = ctx.join(
+        F.broadcast(changed_df), "__fam", "left_semi"
+    ).select(*P2B_COLS).unionByName(batch_keyed_fam.select(*P2B_COLS))
+    # exact by closure: candidates hold every changed group's old
+    # extremes + canonical rows + all its new (batch) rows
+    new_changed = S.p2_boundary_rows(cands, keep_fam=True).localCheckpoint()
+    p2_corpus = (
+        ctx.join(F.broadcast(changed_df), "__fam", "left_anti")
+        .select(*P2B_COLS)
+        .unionByName(new_changed.select(*P2B_COLS))
         .localCheckpoint()
     )
-    n_aff = aff_rows.count()
+    n_aff = p2_corpus.count()
     if n_aff > STORE_AFF_ROWS_CAP:
-        raise ScaleFallback(f"{n_aff} affected-bucket rows")
-    # GROWN pass-1 family per affected row, DataFrame-side (the
-    # affected-row set can run to tens of thousands of ids — a driver
-    # roundtrip through literal IN-lists measured 20 s at sf1): one
-    # pruned-to-broadcast semi-join against the assignment rows, the
-    # composed store remap PLUS this batch's remap applied as a small
-    # broadcast relabel, this batch's new rows unioned, absent ids
-    # defaulting to themselves (singletons).
-    aff_ids_df = aff_rows.select("vec_id").distinct()
-    from .nd_store import _compose as _compose_remaps
-
-    rm_total = _compose_remaps(
-        store.composed_remap("p1", max_seq), p1_remap
-    )
-    prior_fam = store.assign_all_df("p1", max_seq).join(
-        F.broadcast(aff_ids_df), "vec_id", "left_semi"
-    )
-    if rm_total:
-        rm_df = spark.createDataFrame(
-            list(rm_total.items()), "__old bigint, __new bigint"
-        )
-        prior_fam = prior_fam.join(
-            F.broadcast(rm_df),
-            prior_fam.canonical_id == F.col("__old"), "left",
-        ).select(
-            "vec_id",
-            F.coalesce(F.col("__new"), F.col("canonical_id")).alias(
-                "canonical_id"
-            ),
-        )
-    fam_df = prior_fam.unionByName(
-        spark.createDataFrame(
-            p1_new or [], "vec_id bigint, canonical_id bigint"
-        )
-    ).withColumnRenamed("canonical_id", "__fam")
-    keyed_fam = aff_rows.join(F.broadcast(fam_df), "vec_id", "left").withColumn(
-        "__fam", F.coalesce(F.col("__fam"), F.col("vec_id"))
-    )
+        raise ScaleFallback(f"{n_aff} boundary-corpus rows")
     # the kernel output is NARROW (two longs/edge) — checkpoint it so
     # the contraction, endpoint and count actions below read the
     # materialized edges instead of re-running the wide kernel
     p2_edges_df = S.chain_edges_arrow(
-        S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
+        p2_corpus.drop("__fam"), ["t", "bucket"],
         S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
     ).localCheckpoint()
     n_p2 = p2_edges_df.count()
+    # every id the contraction below may need a final-canonical for:
+    # boundary-corpus rows, the batch, and the pass-1 old endpoints
+    aff_ids_df = (
+        p2_corpus.select("vec_id")
+        .unionByName(batch_keyed.select("vec_id"))
+        .unionByName(
+            spark.createDataFrame(
+                [(o,) for o in old_ids] or [], "vec_id bigint"
+            )
+        )
+        .distinct()
+    )
     # Contract BEFORE collecting (clone-heavy corpora emit hundreds of
     # thousands of verified pass-2 edges per batch, but almost all of
     # them connect already-co-clustered members and contract to
@@ -971,14 +999,19 @@ def near_dup_batch_delta(
         "p1_new": p1_new,
         "final_remap": final_remap,
         "final_new": final_new,
+        "p2b_new": new_changed,
         "stats": {
             "p1_edges": len(p1_edge_rows),
             "p2_edges": n_p2,
             "contracted_edges": len(c_rows),
             "touched_families": len(touched_canon),
-            "touched_members": len(m_ids),
+            "touched_boundary_rows": n_tf,
             "affected_buckets": len(aff_tb),
-            "affected_rows": n_aff,
+            # r11: the pass-2 kernel input is the affected buckets'
+            # BOUNDARY corpus, not their member rows (the r10 series'
+            # "affected_rows" counted members: 145k at sf10 / 424k at
+            # sf100 for the same 400-vec batch)
+            "boundary_corpus_rows": n_aff,
         },
     }
 
@@ -1047,6 +1080,7 @@ def apply_batch_to_store(
         seq, fp, delta["batch_keyed"],
         delta["p1_new"], delta["final_new"],
         delta["p1_remap"], delta["final_remap"],
+        p2b_new=delta["p2b_new"],
     )
     LAST_TIMINGS["write_seq"] = time.time() - _t
     return {"seq": seq, "stats": delta["stats"],

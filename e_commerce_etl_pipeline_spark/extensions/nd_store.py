@@ -30,13 +30,42 @@ run can never poison another configuration's store)::
       p1_bycan/    pass-1 assignment sorted by canonical_id
                    (family-member enumeration)
       final/       final assignment sorted by vec_id
+      p2b/         pass-2 BOUNDARY corpus (keyed cols + __fam: the
+                   first/last/canonical rows per (t, bucket, pass-1
+                   family) — similarity.p2_boundary_rows), sorted by
+                   (t, bucket): the bucket-context read for pass 2
+      p2b_byfam/   the same rows sorted by __fam — "which boundary
+                   rows do these families own" pruned lookups
     s=<n>/         one dir per applied batch (seqs ≤ upto_seq are
                    folded into the base and ignored)
       keyed/       the batch corpus's keyed rows (base + twins)
       p1_new/      rows ADDED to the pass-1 assignment
       final_new/   rows ADDED to the final assignment
+      p2b_new/     REWRITTEN boundary groups: the current boundary
+                   rows of every (t, bucket, family) the batch
+                   changed; a group's older rows are superseded by
+                   construction (latest-writing seq wins — see
+                   boundary-read rule below)
       meta.json    {batch_fp, p1_remap, final_remap, ...}; written
                    LAST -> seq completeness marker
+
+Boundary maintenance (r11 — VERDICT r10 #6). Pass 2 consumes ONLY
+boundary rows, and the boundary set is CLOSED under growth/merge: the
+extremes of a merged group are among its parts' extremes, and a
+family's canonical rows are always in its own stored set (the
+``vec_id == __fam`` clause), so re-running p2_boundary_rows over {old
+parts' boundary rows ∪ new batch rows} reproduces the full-member
+result exactly — no member enumeration, no member scan. Per batch the
+pass-2 read is therefore proportional to the touched families'
+BOUNDARY mass (clone-heavy corpora: a small fraction of membership —
+exactly the corpora where family mass exploded the old member
+re-enumeration, 145k -> 424k affected rows per fixed batch across one
+corpus decade). Boundary-read rule: a stored row (base carries
+seq=upto_seq, each delta its own seq) is CURRENT iff no later seq
+rewrote its group — groups are compared at read time after relabeling
+``__fam`` through the composed remap, and every merge rewrites ALL
+constituent families' groups (touched-family closure), so
+latest-seq-wins per relabeled (t, bucket, __fam) is exact.
 
 Assignment semantics: ``assignment(N) = relabel(base ∪ new-rows(upto+1
 .. N)) through the COMPOSED remaps(upto+1 .. N)``. A remap entry
@@ -84,13 +113,18 @@ from __future__ import annotations
 import hashlib
 import json
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import fsops
 from . import similarity as S
 
 KEYED_COLS = ["vec_id", "v", "norm", "t", "bucket", "__sig", "__proj"]
 ASSIGN_COLS = ["vec_id", "canonical_id"]
+P2B_COLS = [*KEYED_COLS, "__fam"]
+# on-disk layout version: bumped when a generation gains artifacts —
+# a store whose _META carries an older layout reads as unseeded, so
+# the stream re-seeds it (fresh generation) instead of failing reads
+LAYOUT = 2
 
 # target rows per output file for the sorted base writes: small enough
 # that (file, row-group) stats give the IN-list reads real pruning,
@@ -157,6 +191,19 @@ def batch_fingerprint(batch_df: DataFrame) -> str:
     ).hexdigest()
 
 
+def _boundary_of(keyed: DataFrame, p1: DataFrame) -> DataFrame:
+    """The full boundary corpus (keyed cols + __fam) from a keyed
+    corpus and a pass-1 assignment — the seed/fallback construction
+    (O(corpus), never run per micro-batch)."""
+    fam = keyed.join(
+        p1.select(
+            "vec_id", F.col("canonical_id").alias("__fam")
+        ),
+        "vec_id", "left",
+    ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    return S.p2_boundary_rows(fam, keep_fam=True)
+
+
 def _compose(base: dict[int, int], nxt: dict[int, int]) -> dict[int, int]:
     """base then nxt, path-compressed: every historical canonical maps
     straight to its current one."""
@@ -197,7 +244,8 @@ class NearDupStore:
         return self._root_meta_cache or None
 
     def is_seeded(self) -> bool:
-        return self._root_meta() is not None
+        meta = self._root_meta()
+        return meta is not None and meta.get("layout") == LAYOUT
 
     @property
     def upto_seq(self) -> int:
@@ -221,7 +269,10 @@ class NearDupStore:
         keyed = S.nd_keyed_corpus(self.spark, self.work_dir).select(*KEYED_COLS)
         p1 = S.near_dup_p1_clusters(self.spark, self.work_dir)
         final = S.near_dup_clusters(self.spark, self.work_dir)
-        self._commit_generation(keyed, p1, final, self._max_physical_seq())
+        p2b = _boundary_of(keyed, p1)
+        self._commit_generation(
+            keyed, p1, final, self._max_physical_seq(), p2b=p2b
+        )
 
     def compact(self) -> None:
         """Fold the deltas into a fresh sorted generation and retire
@@ -235,9 +286,13 @@ class NearDupStore:
         keyed = self._keyed_all(max_seq).localCheckpoint()
         p1 = self._fold("p1", max_seq).localCheckpoint()
         final = self._fold("final", max_seq).localCheckpoint()
+        # the boundary corpus folds from its OWN stored rows (relabel +
+        # latest-wins) — O(boundary corpus), never a member re-window
+        p2b = self.p2b_fold(max_seq).localCheckpoint()
         self._commit_generation(
             keyed, p1, final, max_seq,
             last_fp=last.get("batch_fp") if last else None,
+            p2b=p2b,
         )
 
     def _children(self) -> list[str]:
@@ -260,6 +315,7 @@ class NearDupStore:
         final: DataFrame,
         upto: int,
         last_fp: str | None = None,
+        p2b: DataFrame | None = None,
     ) -> None:
         meta = self._root_meta()
         prev_upto = meta["upto_seq"] if meta else -1
@@ -284,6 +340,12 @@ class NearDupStore:
         self._sorted_write(
             final.select(*ASSIGN_COLS), f"{gdir}/final", na, ["vec_id"]
         )
+        if p2b is None:
+            p2b = _boundary_of(keyed, p1)
+        p2b = p2b.select(*P2B_COLS).localCheckpoint()
+        nb = max(2, p2b.count() // _BASE_ROWS_PER_FILE)
+        self._sorted_write(p2b, f"{gdir}/p2b", nb, ["t", "bucket"])
+        self._sorted_write(p2b, f"{gdir}/p2b_byfam", nb, ["__fam"])
         # the commit point: readers switch generations here or never —
         # written ATOMICALLY (temp + rename): a crash mid-write must
         # leave the OLD complete _META, not an empty/partial file that
@@ -291,7 +353,7 @@ class NearDupStore:
         fsops.write_text_atomic(
             f"{self.root}/_META",
             json.dumps({
-                "bits": self.bits, "gen": gen,
+                "bits": self.bits, "gen": gen, "layout": LAYOUT,
                 "upto_seq": upto, "n_keyed": n_keyed,
                 # fingerprint of the last batch folded into this base
                 # (fallback/compact): lets a crash-replay of that batch
@@ -389,10 +451,19 @@ class NearDupStore:
         final_new: list[tuple[int, int]],
         p1_remap: dict[int, int],
         final_remap: dict[int, int],
+        p2b_new: DataFrame | None = None,
     ) -> None:
         d = self._seq_dir(seq)
         batch_keyed.select(*KEYED_COLS).write.mode("overwrite").parquet(
             f"{d}/keyed"
+        )
+        # the batch's rewritten boundary groups (batch-scale: one row
+        # set per changed (t, bucket, family)); written as a frame —
+        # the recompute is distributed and never touches the driver
+        (p2b_new if p2b_new is not None else batch_keyed.limit(0).withColumn(
+            "__fam", F.col("vec_id")
+        )).select(*P2B_COLS).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/p2b_new"
         )
         for name, rows in (("p1_new", p1_new), ("final_new", final_new)):
             # one-partition RDD instead of a local relation: the local-
@@ -426,8 +497,10 @@ class NearDupStore:
         startup inside its maintenance window)."""
         for name in ("keyed_idx", "p1", "p1_bycan", "final"):
             self._narrow_base(name).count()
+        latest = self.latest_seq()
+        self.p2b_for_buckets([(0, 0)], latest).count()
         S.chain_edges_arrow(
-            self.keyed_for_buckets([(0, 0)], self.latest_seq()),
+            self.keyed_for_buckets([(0, 0)], latest),
             ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS,
         ).count()
 
@@ -515,10 +588,14 @@ class NearDupStore:
         per-table predicate is already exact, no residual join."""
         if not tbuckets:
             return self._keyed_all(max_seq).limit(0)
+        return self._tb_filtered(self._keyed_all(max_seq), tbuckets)
+
+    def _tb_filtered(
+        self, src: DataFrame, tbuckets: list[tuple[int, int]]
+    ) -> DataFrame:
         by_t: dict[int, list[int]] = {}
         for t, b in tbuckets:
             by_t.setdefault(t, []).append(b)
-        src = self._keyed_all(max_seq)
         out = None
         for t, bs in sorted(by_t.items()):
             part = self._ids_filtered(
@@ -533,9 +610,16 @@ class NearDupStore:
         if not ids:
             return []
         src = self._narrow_base("keyed_idx")
-        for p_ in self._seq_paths("keyed", max_seq):
+        paths = self._seq_paths("keyed", max_seq)
+        if paths:
+            # ONE multi-path relation for the whole delta tail — a
+            # per-seq read+union loop grows the plan (and its analysis
+            # cost) linearly with fan-in, the measured ~1.3 s/batch
+            # climb of the r11 70-batch probe
             src = src.unionByName(
-                self.spark.read.parquet(p_).select("vec_id", "t", "bucket")
+                self.spark.read.parquet(*paths).select(
+                    "vec_id", "t", "bucket"
+                )
             )
         rows = (
             self._ids_filtered(src.select("vec_id", "t", "bucket"),
@@ -552,9 +636,10 @@ class NearDupStore:
         bulk consumers; _assign_lookup for bounded point-lookups)."""
         base = "p1" if which == "p1" else "final"
         out = self._narrow_base(base).select(*ASSIGN_COLS)
-        for p_ in self._seq_paths(f"{which}_new", max_seq):
+        paths = self._seq_paths(f"{which}_new", max_seq)
+        if paths:
             out = out.unionByName(
-                self.spark.read.parquet(p_).select(*ASSIGN_COLS)
+                self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
             )
         return out
 
@@ -598,9 +683,10 @@ class NearDupStore:
             old for old, cur in rm.items() if cur in canonicals
         }
         src = self._narrow_base("p1_bycan").select(*ASSIGN_COLS)
-        for p_ in self._seq_paths("p1_new", max_seq):
+        paths = self._seq_paths("p1_new", max_seq)
+        if paths:
             src = src.unionByName(
-                self.spark.read.parquet(p_).select(*ASSIGN_COLS)
+                self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
             )
         rows = (
             self._ids_filtered(src, "canonical_id", sorted(pre))
@@ -608,6 +694,107 @@ class NearDupStore:
             .collect()
         )
         return [r["vec_id"] for r in rows]
+
+    # ---- boundary (pass-2) corpus reads ----------------------------------
+    def _relabel_fam(self, df: DataFrame, rm: dict[int, int]) -> DataFrame:
+        if not rm:
+            return df
+        rm_df = self.spark.createDataFrame(
+            list(rm.items()), "__old bigint, __new bigint"
+        )
+        return (
+            df.join(F.broadcast(rm_df), df["__fam"] == F.col("__old"), "left")
+            .withColumn("__fam", F.coalesce(F.col("__new"), F.col("__fam")))
+            .drop("__old", "__new")
+        )
+
+    def _p2b_seq_rows(self, max_seq: int) -> DataFrame | None:
+        """Delta boundary rows with their writing seq attached — one
+        multi-path relation (plan size must not grow with fan-in); the
+        seq is recovered from the file path, whose layout this class
+        owns."""
+        paths = self._seq_paths("p2b_new", max_seq)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).withColumn(
+            "__seq",
+            F.regexp_extract(F.input_file_name(), r"/s=(\d+)/", 1).cast(
+                "int"
+            ),
+        )
+
+    def _p2b_base(self) -> DataFrame:
+        return self.spark.read.parquet(self._base("p2b")).withColumn(
+            "__seq", F.lit(self.upto_seq)
+        )
+
+    def _p2b_current(
+        self, src: DataFrame, max_seq: int,
+        post_remap: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """The CURRENT boundary rows among ``src``: relabel stored
+        ``__fam`` through the composed store remap, keep only the
+        latest-writing seq's rows per (t, bucket, fam) group — exact
+        because every merge rewrites ALL constituent families' groups
+        (see module docstring) — then optionally relabel to the
+        caller's post-batch labels (applied AFTER latest-wins: group
+        identity at read time is the store's, not the in-flight
+        batch's)."""
+        src = self._relabel_fam(src, self._composed("p1", max_seq))
+        w = Window.partitionBy("t", "bucket", "__fam")
+        src = (
+            src.withColumn("__mx", F.max("__seq").over(w))
+            .filter(F.col("__seq") == F.col("__mx"))
+            .drop("__mx", "__seq")
+        )
+        return self._relabel_fam(src, post_remap or {})
+
+    def p2b_for_buckets(
+        self, tbuckets: list[tuple[int, int]], max_seq: int,
+        post_remap: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Current boundary rows of the given (t, bucket) groups — the
+        pass-2 bucket context. Pruned read of the (t, bucket)-sorted
+        base copy plus the tiny delta dirs."""
+        if not tbuckets:
+            return self._p2b_base().drop("__seq").limit(0)
+        src = self._tb_filtered(self._p2b_base(), tbuckets)
+        seqs = self._p2b_seq_rows(max_seq)
+        if seqs is not None:
+            src = src.unionByName(self._tb_filtered(seqs, tbuckets))
+        return self._p2b_current(src, max_seq, post_remap)
+
+    def p2b_for_fams(
+        self, fams: set[int], max_seq: int,
+        post_remap: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Current boundary rows of the given (current-canonical)
+        families — pruned against the __fam-sorted base copy via the
+        composed remap's preimage, exactly like p1_members."""
+        if not fams:
+            return self._p2b_base().drop("__seq").limit(0)
+        rm = self._composed("p1", max_seq)
+        pre = sorted(
+            set(fams) | {old for old, cur in rm.items() if cur in fams}
+        )
+        base = self.spark.read.parquet(
+            self._base("p2b_byfam")
+        ).withColumn("__seq", F.lit(self.upto_seq))
+        src = self._ids_filtered(base, "__fam", pre)
+        seqs = self._p2b_seq_rows(max_seq)
+        if seqs is not None:
+            src = src.unionByName(self._ids_filtered(seqs, "__fam", pre))
+        return self._p2b_current(src, max_seq, post_remap)
+
+    def p2b_fold(self, max_seq: int | None = None) -> DataFrame:
+        """The full current boundary corpus (compaction input)."""
+        if max_seq is None:
+            max_seq = self.latest_seq()
+        src = self._p2b_base()
+        seqs = self._p2b_seq_rows(max_seq)
+        if seqs is not None:
+            src = src.unionByName(seqs)
+        return self._p2b_current(src, max_seq)
 
     def _fold(self, which: str, max_seq: int) -> DataFrame:
         base = "p1" if which == "p1" else "final"

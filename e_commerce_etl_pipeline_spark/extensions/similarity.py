@@ -899,7 +899,7 @@ def near_dup_rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(nonreps, "vec_id", "left_anti")
 
 
-def p2_boundary_rows(keyed_fam: DataFrame) -> DataFrame:
+def p2_boundary_rows(keyed_fam: DataFrame, keep_fam: bool = False) -> DataFrame:
     """Per (t, bucket, family): the FIRST and LAST member in the chain
     order plus the family CANONICAL — the pass-2 corpus rows. Input
     must carry (t, bucket, __sig, __proj, vec_id, v, norm, __fam);
@@ -914,7 +914,18 @@ def p2_boundary_rows(keyed_fam: DataFrame) -> DataFrame:
     members per bucket-group are the geometrically extremal real
     members (verification happens member-to-member); the canonical is
     kept too so the pass-2 edge set stays a superset of the r9
-    canonical-rep design."""
+    canonical-rep design.
+
+    ``keep_fam`` retains the family column — the maintenance store
+    (extensions.nd_store) persists boundary rows grouped by family and
+    needs the key. CLOSURE property the store leans on (r11): the
+    boundary set of a MERGED/GROWN group is computable from its parts'
+    boundary sets alone — a subset containing the true per-group
+    extremes has the same window-first/window-last, and the canonical
+    member's rows are always in its old part's set via the
+    ``vec_id == __fam`` clause — so re-running this function over old
+    boundary rows ∪ new member rows yields exactly the full-member
+    result, no member scan required."""
     w_asc = Window.partitionBy("t", "bucket", "__fam").orderBy(
         "__sig", "__proj", "vec_id"
     )
@@ -922,11 +933,12 @@ def p2_boundary_rows(keyed_fam: DataFrame) -> DataFrame:
     marked = keyed_fam.withColumn(
         "__rf", F.row_number().over(w_asc)
     ).withColumn("__cf", F.count(F.lit(1)).over(wf))
-    return marked.filter(
+    out = marked.filter(
         (F.col("__rf") == 1)
         | (F.col("__rf") == F.col("__cf"))
         | (F.col("vec_id") == F.col("__fam"))
-    ).drop("__rf", "__cf", "__fam")
+    ).drop("__rf", "__cf")
+    return out if keep_fam else out.drop("__fam")
 
 
 def near_dup_p2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

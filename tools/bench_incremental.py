@@ -50,6 +50,9 @@ from e_commerce_etl_pipeline_spark.plans.queries import load_table  # noqa: E402
 from e_commerce_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 BATCH_VECS = int(os.environ.get("SPARK_GRAFT_INC_BATCH", "400"))
+# store mode compacts on the stream's cadence (DEFAULT_COMPACT_EVERY);
+# override to force a compaction inside a short sf100 confirmation run
+COMPACT_EVERY = int(os.environ.get("SPARK_GRAFT_COMPACT_EVERY", "0"))
 
 
 def main() -> None:
@@ -58,6 +61,11 @@ def main() -> None:
     out_file = sys.argv[3] if len(sys.argv) > 3 else None
     mode = sys.argv[4] if len(sys.argv) > 4 else "store"
     assert mode in ("store", "frame", "frame-append"), mode
+    from e_commerce_etl_pipeline_spark.streaming.incremental import (
+        DEFAULT_COMPACT_EVERY,
+    )
+
+    compact_every = COMPACT_EVERY or DEFAULT_COMPACT_EVERY
     spark = get_spark("bench_incremental")
 
     src_dir = sf_dir
@@ -125,6 +133,24 @@ def main() -> None:
             entry["stages"] = {
                 k: round(v, 3) for k, v in IC.LAST_TIMINGS.items()
             }
+            # long-horizon state growth, reported per batch (VERDICT
+            # r10 #1): delta-tail fan-in (seq dirs a fold unions) and
+            # composed-remap sizes (driver dict entries a fold relabels
+            # through) — the two curves compaction exists to bound
+            latest = store.latest_seq()
+            entry["seq_fanin"] = latest - store.upto_seq
+            entry["remap_p1"] = len(store.composed_remap("p1", latest))
+            entry["remap_final"] = len(
+                store.composed_remap("final", latest)
+            )
+            # the stream's compaction cadence (near_dup_index_stream):
+            # fold the delta tail into a fresh base generation every
+            # compact_every applied batches — timed separately so the
+            # series shows the spike AND the flat cost around it
+            if entry["seq_fanin"] >= compact_every:
+                t_c = time.time()
+                store.compact()
+                entry["compact_sec"] = round(time.time() - t_c, 3)
         else:
             t0 = time.time()
             grown, grown_p1 = IC.incremental_near_dup_update(
@@ -169,6 +195,7 @@ def main() -> None:
         "prior_assignment_rows": n_prior,
         "batch_vecs": BATCH_VECS,
         "n_batches": n_batches,
+        "compact_every": compact_every if mode == "store" else None,
         "seed_sec": seed_sec,
         "per_batch": per_batch,
         "median_sec": sorted(p["sec"] for p in per_batch)[len(per_batch) // 2],
