@@ -287,12 +287,12 @@ class NearDupStore:
         p1 = self._fold("p1", max_seq).localCheckpoint()
         final = self._fold("final", max_seq).localCheckpoint()
         # the boundary corpus folds from its OWN stored rows (relabel +
-        # latest-wins) — O(boundary corpus), never a member re-window
-        p2b = self.p2b_fold(max_seq).localCheckpoint()
+        # latest-wins) — O(boundary corpus), never a member re-window;
+        # left LAZY (see _commit_generation's memory note)
         self._commit_generation(
             keyed, p1, final, max_seq,
             last_fp=last.get("batch_fp") if last else None,
-            p2b=p2b,
+            p2b=self.p2b_fold(max_seq),
         )
 
     def _children(self) -> list[str]:
@@ -342,8 +342,14 @@ class NearDupStore:
         )
         if p2b is None:
             p2b = _boundary_of(keyed, p1)
-        p2b = p2b.select(*P2B_COLS).localCheckpoint()
-        nb = max(2, p2b.count() // _BASE_ROWS_PER_FILE)
+        # NOT checkpointed: pinning a second corpus-sized wide frame
+        # next to the keyed checkpoint OOMed a 24g heap at sf100 (the
+        # boundary corpus ≈ the keyed corpus on low-clone shapes). The
+        # boundary window recomputes once per sorted copy instead —
+        # seed/compact-time work, never per batch. File sizing keys off
+        # n_keyed (boundary ≤ keyed; smaller files only prune better).
+        p2b = p2b.select(*P2B_COLS)
+        nb = max(2, n_keyed // _BASE_ROWS_PER_FILE)
         self._sorted_write(p2b, f"{gdir}/p2b", nb, ["t", "bucket"])
         self._sorted_write(p2b, f"{gdir}/p2b_byfam", nb, ["__fam"])
         # the commit point: readers switch generations here or never —

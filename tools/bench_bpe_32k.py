@@ -145,9 +145,6 @@ def main() -> None:
     merges, tok_of = _train_driver(wc_rows, n_merges)
     train_sec = round(time.time() - t0, 3)
     print(f"# merges done in {train_sec}s", file=sys.stderr, flush=True)
-    tokens_bpe = sum(
-        dict(wc_rows)[w] * t for w, t in tok_of.items()
-    )
 
     def _emit(out_dict):
         line = json.dumps(out_dict)
@@ -170,8 +167,8 @@ def main() -> None:
         "train_sec": train_sec,
         "merges_per_sec": round(len(merges) / train_sec, 1),
         "total_chars": total_chars,
-        "tokens_bpe": tokens_bpe,
-        "compression_chars_per_token": round(total_chars / tokens_bpe, 4),
+        "tokens_bpe": None,  # updated below
+        "compression_chars_per_token": None,
         "baseline_chars_per_word": round(total_chars / total_words, 4),
         "replay_prefix": REPLAY_PREFIX,
         "replay_prefix_verbatim": None,  # updated below — see _emit
@@ -180,12 +177,20 @@ def main() -> None:
             "deterministic": "xxhash64-derived uniforms, no RNG",
         },
     }
-    # train results land FIRST (the reference replay is the slow part;
-    # a budget kill must not discard the measured training run)
+    # train results land FIRST — NOTHING sits between training and this
+    # write (the first committed-artifact attempt died in the replay;
+    # the second died in a compression-stats generator that rebuilt a
+    # 191k-entry dict per word — quadratic — before the first emit)
+    _emit(out)
+
+    wc = dict(wc_rows)  # hoisted: see note above
+    tokens_bpe = sum(wc[w] * t for w, t in tok_of.items())
+    out["tokens_bpe"] = tokens_bpe
+    out["compression_chars_per_token"] = round(total_chars / tokens_bpe, 4)
     _emit(out)
 
     t0 = time.time()
-    ref = _py_bpe_train(dict(wc_rows), REPLAY_PREFIX)
+    ref = _py_bpe_train(wc, REPLAY_PREFIX)
     out["replay_sec"] = round(time.time() - t0, 3)
     out["replay_prefix_verbatim"] = (merges[:REPLAY_PREFIX] == ref)
     _emit(out)
