@@ -38,11 +38,16 @@ from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
 DIM = 64  # the corpus convention: sign-LSH tables index up to dim 64
 N_BASE_RANDOM = 30
 N_DRIFT_PAIRS = 15          # pairs at cos ~0.9985 (< NEAR_DUP_COS)
-N_BATCHES = 100
+# the suite's long pole (~40 min: 100 batches x two maintenance paths
+# x ~25 Spark actions each); the default honors the >=100-batch
+# property-test criterion — scale down via env for a quick suite pass
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_CHURN_BATCHES", "100"))
 BATCH = 4
 CHECK_EVERY = 10
 COMPACT_EVERY = 7           # small cadence => ~13 compactions in-run
-FALLBACK_AT = {23, 46, 69, 92}   # forced ScaleFallback routes
+FALLBACK_AT = {
+    s for s in (23, 46, 69, 92) if s <= N_BATCHES
+}   # forced ScaleFallback routes
 
 
 def _unit(rng: random.Random) -> list[float]:
@@ -156,9 +161,9 @@ def test_hundred_batch_churn_store_equals_frame_chain(spark, tmp_path):
 
     # the churn actually happened: merges produced composed-remap
     # entries at some point, fallbacks and compactions both fired
-    assert n_merge_events >= 10, n_merge_events
+    assert n_merge_events >= N_BATCHES // 10, n_merge_events
     assert n_fallbacks == len(FALLBACK_AT)
-    assert n_compactions >= 8, n_compactions
+    assert n_compactions >= N_BATCHES // 12, n_compactions
 
     # final fold-through-compaction is still exact
     store.compact()
