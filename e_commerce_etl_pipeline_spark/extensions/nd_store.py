@@ -227,6 +227,7 @@ class NearDupStore:
         self._composed_cache: dict[tuple[str, int], dict[int, int]] = {}
         self._root_meta_cache: dict | None = None
         self._narrow_cache: dict[tuple[int, str], DataFrame] = {}
+        self._tail_cache: dict[tuple[int, str], tuple[int, DataFrame]] = {}
 
     # ---- root meta / layout helpers -------------------------------------
     def _root_meta(self) -> dict | None:
@@ -260,6 +261,73 @@ class NearDupStore:
 
     def _seq_dir(self, seq: int) -> str:
         return f"{self.root}/s={seq}"
+
+    # ---- delta-tail cache --------------------------------------------------
+    def _tail(self, name: str, cols: list[str], max_seq: int) -> DataFrame | None:
+        """The delta tail (seqs upto+1..max_seq of artifact ``name``)
+        as ONE in-memory persisted frame with a ``__seq`` column,
+        extended INCREMENTALLY: tail(N) = tail(N-1) ∪ seq N's rows, so
+        a long-lived maintenance process re-reads no delta file twice.
+        Without this, every action re-listed and re-footer-read every
+        delta file — the residual ~0.15 s/batch climb of the r11
+        70-batch curve (the tail is batch-scale: ~800 keyed rows per
+        seq, trivially memory-resident). Returns None when the tail is
+        empty. Invalidation: generation flips (keyed by gen) and seq
+        overwrites (write_seq drops tails covering the rewritten seq).
+        Reads at an OLDER max_seq than the cache covers bypass it."""
+        meta = self._root_meta()
+        if meta is None:
+            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+        if max_seq <= self.upto_seq:
+            return None
+
+        def _read(lo: int, hi: int) -> DataFrame | None:
+            out = None
+            for s in range(lo, hi + 1):
+                if self._seq_meta(s) is None:
+                    continue
+                df = self.spark.read.parquet(
+                    f"{self._seq_dir(s)}/{name}"
+                ).select(*cols).withColumn("__seq", F.lit(s))
+                out = df if out is None else out.unionByName(df)
+            return out
+
+        key = (meta["gen"], f"tail:{name}")
+        hit = self._tail_cache.get(key)
+        if hit is not None and hit[0] == max_seq:
+            return hit[1]
+        if hit is not None and hit[0] > max_seq:
+            return _read(self.upto_seq + 1, max_seq)  # older view: bypass
+        if hit is not None:
+            ext = _read(hit[0] + 1, max_seq)
+            if ext is None:  # no new complete seqs — same frame covers it
+                self._tail_cache[key] = (max_seq, hit[1])
+                return hit[1]
+            df = hit[1].unionByName(ext)
+        else:
+            df = _read(self.upto_seq + 1, max_seq)
+        if df is None:
+            return None
+        df = df.persist()
+        df.count()  # materialize now — later actions read memory
+        if hit is not None:
+            try:
+                hit[1].unpersist()
+            except Exception:  # noqa: BLE001 — eviction best-effort
+                pass
+        self._tail_cache[key] = (max_seq, df)
+        return df
+
+    def _drop_tails(self, from_seq: int | None = None) -> None:
+        """Evict tail caches — all of them (commit/replay), or those
+        covering ``from_seq`` and later (a rewritten seq dir)."""
+        for key, (mx, df) in list(self._tail_cache.items()):
+            if from_seq is None or mx >= from_seq:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+                self._tail_cache.pop(key, None)
 
     # ---- seeding / compaction --------------------------------------------
     def seed(self) -> None:
@@ -370,6 +438,7 @@ class NearDupStore:
         )
         self._root_meta_cache = None
         self._composed_cache.clear()
+        self._drop_tails()  # the new generation folds the tail away
         self._gc(gen, prev_upto)
 
     def _gc(self, gen: int, prev_upto: int) -> None:
@@ -494,6 +563,9 @@ class NearDupStore:
         )
         self._meta_cache.pop(seq, None)  # overwritten seq: force re-read
         self._composed_cache.clear()
+        # a rewritten seq invalidates any cached tail that covered it
+        # (a NEW seq drops nothing — the next read extends the tail)
+        self._drop_tails(from_seq=seq)
 
     def warm(self) -> None:
         """Build the in-memory narrow caches and spin up the Arrow
@@ -561,8 +633,11 @@ class NearDupStore:
         return df
 
     def _keyed_all(self, max_seq: int) -> DataFrame:
-        paths = [self._base("keyed")] + self._seq_paths("keyed", max_seq)
-        return self.spark.read.parquet(*paths).select(*KEYED_COLS)
+        base = self.spark.read.parquet(self._base("keyed")).select(*KEYED_COLS)
+        tail = self._tail("keyed", KEYED_COLS, max_seq)
+        if tail is None:
+            return base
+        return base.unionByName(tail.select(*KEYED_COLS))
 
     def _ids_filtered(
         self, df: DataFrame, col: str, ids: list[int]
@@ -616,17 +691,13 @@ class NearDupStore:
         if not ids:
             return []
         src = self._narrow_base("keyed_idx")
-        paths = self._seq_paths("keyed", max_seq)
-        if paths:
-            # ONE multi-path relation for the whole delta tail — a
-            # per-seq read+union loop grows the plan (and its analysis
-            # cost) linearly with fan-in, the measured ~1.3 s/batch
-            # climb of the r11 70-batch probe
-            src = src.unionByName(
-                self.spark.read.parquet(*paths).select(
-                    "vec_id", "t", "bucket"
-                )
-            )
+        # the cached in-memory tail replaces a per-batch re-read of
+        # every delta file (a per-seq read+union loop measured a
+        # ~1.3 s/batch plan-growth climb; a fresh multi-path relation
+        # per action still re-listed/re-footer-read N files per batch)
+        tail = self._tail("keyed", KEYED_COLS, max_seq)
+        if tail is not None:
+            src = src.unionByName(tail.select("vec_id", "t", "bucket"))
         rows = (
             self._ids_filtered(src.select("vec_id", "t", "bucket"),
                                "vec_id", ids)
@@ -642,11 +713,9 @@ class NearDupStore:
         bulk consumers; _assign_lookup for bounded point-lookups)."""
         base = "p1" if which == "p1" else "final"
         out = self._narrow_base(base).select(*ASSIGN_COLS)
-        paths = self._seq_paths(f"{which}_new", max_seq)
-        if paths:
-            out = out.unionByName(
-                self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
-            )
+        tail = self._tail(f"{which}_new", ASSIGN_COLS, max_seq)
+        if tail is not None:
+            out = out.unionByName(tail.select(*ASSIGN_COLS))
         return out
 
     def composed_remap(self, which: str, max_seq: int) -> dict[int, int]:
@@ -689,11 +758,9 @@ class NearDupStore:
             old for old, cur in rm.items() if cur in canonicals
         }
         src = self._narrow_base("p1_bycan").select(*ASSIGN_COLS)
-        paths = self._seq_paths("p1_new", max_seq)
-        if paths:
-            src = src.unionByName(
-                self.spark.read.parquet(*paths).select(*ASSIGN_COLS)
-            )
+        tail = self._tail("p1_new", ASSIGN_COLS, max_seq)
+        if tail is not None:
+            src = src.unionByName(tail.select(*ASSIGN_COLS))
         rows = (
             self._ids_filtered(src, "canonical_id", sorted(pre))
             .select("vec_id")
@@ -715,19 +782,9 @@ class NearDupStore:
         )
 
     def _p2b_seq_rows(self, max_seq: int) -> DataFrame | None:
-        """Delta boundary rows with their writing seq attached — one
-        multi-path relation (plan size must not grow with fan-in); the
-        seq is recovered from the file path, whose layout this class
-        owns."""
-        paths = self._seq_paths("p2b_new", max_seq)
-        if not paths:
-            return None
-        return self.spark.read.parquet(*paths).withColumn(
-            "__seq",
-            F.regexp_extract(F.input_file_name(), r"/s=(\d+)/", 1).cast(
-                "int"
-            ),
-        )
+        """Delta boundary rows with their writing seq attached — the
+        cached in-memory tail (which carries ``__seq`` natively)."""
+        return self._tail("p2b_new", P2B_COLS, max_seq)
 
     def _p2b_base(self) -> DataFrame:
         return self.spark.read.parquet(self._base("p2b")).withColumn(
