@@ -248,6 +248,29 @@ class NearDupStore:
         meta = self._root_meta()
         return meta is not None and meta.get("layout") == LAYOUT
 
+    def seed_state(self) -> str:
+        """Three-way store state, so readers can tell "nothing here"
+        from "healthy pre-layout-v2 store awaiting re-seed" (ADVICE r11
+        #3: during a layout migration window the old error claimed the
+        store didn't exist): ``"seeded"`` | ``"stale-layout"`` |
+        ``"unseeded"``."""
+        meta = self._root_meta()
+        if meta is None:
+            return "unseeded"
+        return "seeded" if meta.get("layout") == LAYOUT else "stale-layout"
+
+    def not_seeded_error(self) -> FileNotFoundError:
+        """The precise not-readable error for the current state."""
+        if self.seed_state() == "stale-layout":
+            got = (self._root_meta() or {}).get("layout", 0)
+            return FileNotFoundError(
+                f"near-dup store at {self.root} has layout {got} < "
+                f"{LAYOUT} (pre-migration store, intact but not "
+                "readable by this version); run the maintenance stream "
+                "to re-seed it"
+            )
+        return FileNotFoundError(f"near-dup store not seeded: {self.root}")
+
     @property
     def upto_seq(self) -> int:
         meta = self._root_meta()
@@ -256,7 +279,7 @@ class NearDupStore:
     def _base(self, name: str) -> str:
         meta = self._root_meta()
         if meta is None:
-            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+            raise self.not_seeded_error()
         return f"{self.root}/g={meta['gen']}/{name}"
 
     def _seq_dir(self, seq: int) -> str:
@@ -277,7 +300,7 @@ class NearDupStore:
         Reads at an OLDER max_seq than the cache covers bypass it."""
         meta = self._root_meta()
         if meta is None:
-            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+            raise self.not_seeded_error()
         if max_seq <= self.upto_seq:
             return None
 
@@ -616,7 +639,7 @@ class NearDupStore:
         on disk. Generation flips (seed/compact) evict."""
         meta = self._root_meta()
         if meta is None:
-            raise FileNotFoundError(f"near-dup store not seeded: {self.root}")
+            raise self.not_seeded_error()
         key = (meta["gen"], name)
         hit = self._narrow_cache.get(key)
         if hit is not None:

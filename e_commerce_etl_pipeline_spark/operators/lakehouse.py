@@ -89,22 +89,28 @@ def _q_table(name: str) -> str:
 
 
 def merge_matched_condition(
-    order_col: str, guard_cols: Sequence[str] = (), dialect: _Dialect = SPARK_DIALECT
+    order_col: str,
+    guard_cols: Sequence[str] = (),
+    dialect: _Dialect = SPARK_DIALECT,
+    tgt: str = "tgt",
+    src: str = "src",
 ) -> str:
-    """The WHEN MATCHED guard as a SQL boolean expression over
-    ``tgt``/``src`` aliases. Mirrors resolve_upsert's ``update_applies``:
-    stale target, or same version with a changed guard column."""
+    """The WHEN MATCHED guard as a SQL boolean expression over the
+    given target/source alias strings (already-rendered prefixes —
+    quoted table names for engines without UPDATE aliases). Mirrors
+    resolve_upsert's ``update_applies``: stale target, or same version
+    with a changed guard column."""
     oc = dialect.q(order_col)
-    stale = f"tgt.{oc} IS NULL OR tgt.{oc} < src.{oc}"
+    stale = f"{tgt}.{oc} IS NULL OR {tgt}.{oc} < {src}.{oc}"
     if not guard_cols:
         return stale
     diffs = " OR ".join(
-        "NOT (" + dialect.nse(a=f"tgt.{dialect.q(g)}", b=f"src.{dialect.q(g)}") + ")"
+        "NOT (" + dialect.nse(a=f"{tgt}.{dialect.q(g)}", b=f"{src}.{dialect.q(g)}") + ")"
         for g in guard_cols
     )
     return (
         f"{stale} OR ("
-        + dialect.nse(a=f"tgt.{oc}", b=f"src.{oc}")
+        + dialect.nse(a=f"{tgt}.{oc}", b=f"{src}.{oc}")
         + f" AND ({diffs}))"
     )
 
@@ -142,26 +148,35 @@ def _merge_parts(
     guard_cols: Sequence[str],
     batch_time_expr: str,
     d: _Dialect,
+    tgt: str = "tgt",
+    src: str = "src",
 ) -> tuple[str, str, list[str], str, str]:
+    """``tgt``/``src`` are the rendered alias prefixes used verbatim in
+    every emitted qualified reference. Engines whose UPDATE statement
+    cannot alias the target (duckdb) pass the quoted table names here —
+    the emission is correct by construction for ANY column name,
+    including ones containing the literal text 'tgt.'/'src.' (ADVICE
+    r11 #1: the old post-hoc string replace corrupted those inside
+    their quoted identifiers)."""
     on = " AND ".join(
-        d.nse(a=f"tgt.{d.q(k)}", b=f"src.{d.q(k)}") for k in keys
+        d.nse(a=f"{tgt}.{d.q(k)}", b=f"{src}.{d.q(k)}") for k in keys
     )
-    guard = merge_matched_condition(order_col, guard_cols, d)
+    guard = merge_matched_condition(order_col, guard_cols, d, tgt=tgt, src=src)
     sets = []
     for c in cols:
         if c in keys or c == ETL_CREATED:
             continue  # keys immutable under match; created_at carve-out
         if c == ETL_UPDATED:
-            sets.append(f"tgt.{d.q(c)} = {batch_time_expr}")
+            sets.append(f"{tgt}.{d.q(c)} = {batch_time_expr}")
         else:
-            sets.append(f"tgt.{d.q(c)} = src.{d.q(c)}")
+            sets.append(f"{tgt}.{d.q(c)} = {src}.{d.q(c)}")
     if not sets:
         raise ValueError(
             "MERGE has no updatable columns (every column is a key or "
             f"{ETL_CREATED}); an insert-only load should use append, not MERGE"
         )
     col_list = ", ".join(d.q(c) for c in cols)
-    src_vals = ", ".join(f"src.{d.q(c)}" for c in cols)
+    src_vals = ", ".join(f"{src}.{d.q(c)}" for c in cols)
     return on, guard, sets, col_list, src_vals
 
 
@@ -187,27 +202,27 @@ def merge_as_duckdb_statements(
     container must skip (VERDICT r10 #8). Caller contract (same as
     MERGE): the source is already deduped to one row per key."""
     d = DUCKDB_DIALECT
-    on, guard, sets, col_list, src_vals = _merge_parts(
-        cols, keys, order_col, guard_cols, batch_time_expr, d
-    )
     tgt = d.q_table(target_table)
     src = d.q_table(source_table)
     # duckdb UPDATE has no target alias — the table name itself is the
-    # alias; rewrite the builders' tgt./src. prefixes to the quoted
-    # names (string-identity rewrite of the emitted text keeps the two
-    # emissions bit-comparable up to the alias spelling)
-    def _aliases(s: str) -> str:
-        return s.replace("tgt.", f"{tgt}.").replace("src.", f"{src}.")
-
+    # alias; build the parts WITH the quoted table names as the alias
+    # prefixes, so hostile column names (including ones containing the
+    # literal text 'tgt.'/'src.') survive intact (ADVICE r11 #1)
+    on, guard, sets, col_list, src_vals = _merge_parts(
+        cols, keys, order_col, guard_cols, batch_time_expr, d, tgt=tgt, src=src
+    )
     update = (
         f"UPDATE {tgt} SET "
-        + ", ".join(_aliases(s).replace(f"{tgt}.", "", 1) for s in sets)
-        + f" FROM {src} WHERE {_aliases(on)} AND ({_aliases(guard)})"
+        # SET's left-hand side must be the bare column: strip the exact
+        # rendered prefix (every item starts with f"{tgt}." by
+        # construction), not a substring replace
+        + ", ".join(s[len(tgt) + 1:] for s in sets)
+        + f" FROM {src} WHERE {on} AND ({guard})"
     )
     insert = (
         f"INSERT INTO {tgt} ({col_list}) "
-        f"SELECT {_aliases(src_vals)} FROM {src} "
-        f"WHERE NOT EXISTS (SELECT 1 FROM {tgt} WHERE {_aliases(on)})"
+        f"SELECT {src_vals} FROM {src} "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {tgt} WHERE {on})"
     )
     return [update, insert]
 

@@ -152,9 +152,7 @@ def read_assignment(spark: SparkSession, work_dir: str) -> DataFrame:
     mid-write can never surface a partial batch)."""
     store = _store_for(spark, work_dir)
     if not store.is_seeded():
-        raise FileNotFoundError(
-            f"no seeded near-dup store under {store.root}"
-        )
+        raise store.not_seeded_error()
     return store.final_fold()
 
 
@@ -163,9 +161,7 @@ def read_p1_assignment(spark: SparkSession, work_dir: str) -> DataFrame:
     stage), folded the same way."""
     store = _store_for(spark, work_dir)
     if not store.is_seeded():
-        raise FileNotFoundError(
-            f"no seeded near-dup store under {store.root}"
-        )
+        raise store.not_seeded_error()
     return store.p1_fold()
 
 

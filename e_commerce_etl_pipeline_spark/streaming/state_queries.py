@@ -198,7 +198,11 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(2)
     ]
     for i, b in enumerate(batches):
-        assert not b.isEmpty(), f"stream_upsert_state: batch {i} is empty"
+        # explicit raise, not assert: `python -O` compiles asserts out,
+        # which would silently revert to the degenerate one-sided split
+        # this guard exists to prevent (ADVICE r11 #2)
+        if b.isEmpty():
+            raise RuntimeError(f"stream_upsert_state: batch {i} is empty")
     _one_file_batches(batches, f"{root}/src")
     _drain(
         spark, src.schema, f"{root}/src",

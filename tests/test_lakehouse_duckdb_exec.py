@@ -219,3 +219,24 @@ def test_delta_skip_is_still_the_only_skip():
     from tests import test_lakehouse_delta_exec as t
 
     assert t.pytestmark.args[0] is True  # skipif condition active
+
+
+def test_duckdb_alias_literal_column_names_execute():
+    """Columns whose NAMES contain the literal text 'tgt.'/'src.' must
+    survive emission and execute (ADVICE r11 #1: the old post-hoc alias
+    string-replace corrupted 'src.note' inside its quoted identifier
+    into invalid SQL). The parts are now built with the quoted table
+    names as the alias prefixes, so this is correct by construction."""
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t (k INT, "src.note" VARCHAR, "tgt.flag" INT, o INT)')
+    con.execute('CREATE TABLE s (k INT, "src.note" VARCHAR, "tgt.flag" INT, o INT)')
+    con.execute("INSERT INTO t VALUES (1, 'old', 0, 10)")
+    con.execute("INSERT INTO s VALUES (1, 'new', 1, 11), (2, 'ins', 2, 5)")
+    for stmt in merge_as_duckdb_statements(
+        "t", "s", ["k", "src.note", "tgt.flag", "o"],
+        ["k"], "o", ["src.note"],
+    ):
+        con.execute(stmt)
+    got = set(con.execute("SELECT * FROM t").fetchall())
+    con.close()
+    assert got == {(1, "new", 1, 11), (2, "ins", 2, 5)}

@@ -150,3 +150,49 @@ def test_bits_tier_gets_its_own_root(spark, work):
     other = NearDupStore(spark, w, bits + 1)
     assert not other.is_seeded()
     assert other.root != store.root
+
+
+def test_stale_layout_reads_name_the_migration_not_a_missing_store(
+    spark, tmp_path
+):
+    """ADVICE r11 #3: a healthy pre-layout-v2 store must not be
+    misdescribed as missing. The reader error during the migration
+    window names the old layout and the re-seed path; a truly absent
+    store keeps the plain not-seeded message."""
+    import json
+
+    from e_commerce_etl_pipeline_spark.extensions import nd_store as NS
+    from e_commerce_etl_pipeline_spark.streaming.incremental import (
+        read_assignment,
+    )
+
+    w = str(tmp_path / "w2")
+    os.makedirs(w)
+    # a tiny real corpus so read_assignment's bits derivation works
+    spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=3) for _ in range(8)]).alias("embedding"),
+    ).coalesce(1).write.parquet(f"{w}/embeddings.parquet")
+    bits = S.lsh_bits(S.corpus_count(spark, w))
+    store = NearDupStore(spark, w, bits)
+    assert store.seed_state() == "unseeded"
+    with pytest.raises(FileNotFoundError, match="not seeded"):
+        store.final_fold()
+
+    # hand-write an old-layout _META (what a pre-r11 store looks like)
+    root = store.root
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/_META", "w") as f:
+        json.dump(
+            {"bits": bits, "gen": 1, "upto_seq": 0, "n_keyed": 0, "layout": 1},
+            f,
+        )
+    stale = NearDupStore(spark, w, bits)
+    assert stale.seed_state() == "stale-layout"
+    assert not stale.is_seeded()  # the stream still re-seeds it
+    with pytest.raises(FileNotFoundError, match=r"layout 1 < 2.*re-seed"):
+        raise stale.not_seeded_error()
+    # the public reader surfaces the same precise message
+    with pytest.raises(FileNotFoundError, match="layout 1 < 2"):
+        read_assignment(spark, w)
+    assert NS.LAYOUT == 2  # message text above tracks the constant
