@@ -38,16 +38,20 @@ from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
 DIM = 64  # the corpus convention: sign-LSH tables index up to dim 64
 N_BASE_RANDOM = 30
 N_DRIFT_PAIRS = 15          # pairs at cos ~0.9985 (< NEAR_DUP_COS)
-# the suite's long pole (~40 min: 100 batches x two maintenance paths
-# x ~25 Spark actions each); the default honors the >=100-batch
-# property-test criterion — scale down via env for a quick suite pass
-N_BATCHES = int(os.environ.get("SPARK_GRAFT_CHURN_BATCHES", "100"))
+# routine-suite default is 20 batches (~8 min: still >=2 merges, >=2
+# compactions, and both forced-fallback routes); the FULL 100-batch
+# run is the ROUND-CLOSE configuration (VERDICT r11 #4: the 100
+# default made the suite a 40-min long pole nobody runs) —
+# SPARK_GRAFT_CHURN_BATCHES=100 pytest tests/test_nd_store_longhorizon.py
+# is executed at round close and its summary committed as
+# CHURN_r{N}.json (tools/run_churn_full.py)
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_CHURN_BATCHES", "20"))
 BATCH = 4
 CHECK_EVERY = 10
-COMPACT_EVERY = 7           # small cadence => ~13 compactions in-run
+COMPACT_EVERY = 7           # small cadence => ~13 compactions per 100
 FALLBACK_AT = {
-    s for s in (23, 46, 69, 92) if s <= N_BATCHES
-}   # forced ScaleFallback routes
+    s for s in (11, 18, 23, 46, 69, 92) if s <= N_BATCHES
+}   # forced ScaleFallback routes (two land inside the 20-batch default)
 
 
 def _unit(rng: random.Random) -> list[float]:
