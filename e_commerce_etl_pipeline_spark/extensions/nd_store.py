@@ -90,6 +90,14 @@ Crash/replay contract (single sequential writer — the stream):
   pointing at the old consistent state; stale generations and folded
   seq dirs are garbage-collected best-effort on the next commit
   (ADVICE r9 #2's overwrite-idempotent discipline, generalized).
+- Concurrent-reader contract (integration-tested, r12): a lazy fold
+  resolved against generation N-1 stays executable with EXACT rows
+  across one subsequent compact (N-1 and the seq dirs its readers
+  fold are retained — ADVICE r10 #5); after a second compact commits
+  N+1 and GCs N-1, executing the stale plan raises Spark's
+  missing-file error — a clean failure, never wrong or partial rows.
+  Readers that can outlive two compaction cadences must re-resolve
+  (build a fresh fold) per read.
 
 Scale shape: per-batch work is proportional to the batch's touched
 buckets and families — pruned parquet reads (bucket/vec_id IN-lists

@@ -112,6 +112,9 @@ def main() -> None:
         prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
         n_prior = prior.count()
 
+    from tools.batch_metrics import BatchMetrics, Sampler, percentiles
+
+    metrics = BatchMetrics(spark)
     per_batch = []
     for b in range(n_batches):
         rows = [
@@ -125,6 +128,9 @@ def main() -> None:
             rows, "vec_id long, embedding array<double>"
         ).localCheckpoint()  # batch construction off the clock
         entry: dict = {}
+        env_before = metrics.snapshot()
+        sampler = Sampler(metrics)
+        sampler.__enter__()
         if mode == "store":
             t0 = time.time()
             res = IC.apply_batch_to_store(spark, store, batch)
@@ -175,6 +181,16 @@ def main() -> None:
                 F.col("embedding").cast(emb_type).alias("embedding"),
             ).write.mode("append").parquet(f"{sf_dir}/embeddings.parquet")
             entry["append_sec"] = round(time.time() - t_a, 3)
+        sampler.__exit__()
+        # per-batch environment attribution (VERDICT r11 #1: the 8x
+        # sf100 spike had identical work stats — GC/IO/writeback/load
+        # deltas over the WHOLE iteration, incl. append and compact,
+        # are what distinguishes a GC pause from a writeback stall
+        # from outside CPU contention)
+        entry["env"] = {
+            **metrics.delta(env_before, metrics.snapshot()),
+            **sampler.maxima,
+        }
         per_batch.append(entry)
         print(f"# batch {b}: {entry['sec']:.2f}s", file=sys.stderr, flush=True)
 
@@ -199,6 +215,8 @@ def main() -> None:
         "seed_sec": seed_sec,
         "per_batch": per_batch,
         "median_sec": sorted(p["sec"] for p in per_batch)[len(per_batch) // 2],
+        # percentile truth alongside the median (VERDICT r11 #1/#2)
+        **percentiles([p["sec"] for p in per_batch]),
     }
     from tools.provenance import sf_provenance
     out["provenance"] = sf_provenance(src_dir)
