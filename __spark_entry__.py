@@ -53,12 +53,12 @@ _ALL = {**_CORE, **ALL_EXT_QUERIES, **LANDING_QUERIES, **STREAM_STATE_QUERIES}
 # Graded-window priority: flagship analytics, every extension operator,
 # then reference-parity core operators (SURVEY §2 line items).
 _PRIORITY = [
-    # flagship TPC-H trio
-    "q1_pricing_summary", "q3_top_unshipped", "q5_revenue_by_nation",
+    # flagship TPC-H pair (q5 rotated out r12 — see rotation note below)
+    "q1_pricing_summary", "q3_top_unshipped",
     # LLM-pipeline extensions: text analysis
-    "text_stats", "lang_id_docs", "rolling_fingerprint_docs",
+    "text_stats", "lang_id_docs", "tfidf_top_terms",
     # dedup family
-    "exact_dedup", "minhash_lsh_pairs",
+    "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_docs", "dedup_clusters",
     # r8 batch 2: exact-span dedup-with-rewrite, token-window chunking,
     # corpus-trained quality classifier + its held-out-val gate
@@ -71,10 +71,15 @@ _PRIORITY = [
     "near_dup_clusters", "near_dup_recall_eval",
     # r8: SemDeDup on trained IVF cells + corpus-LM rarity scoring
     "semantic_dedup_cells", "lm_rarity_docs",
+    # r12: the oracle-checked DELETION lifecycle (tombstone -> window
+    # -> compact(re-cluster) == rebuild-without-deleted) + benchmark
+    # contamination (gram semi-join) + basket lift (co-occurrence
+    # association), all never driver-graded before
+    "near_dup_tombstone_state", "benchmark_contamination", "basket_lift",
     # multimodal + grouped-pandas
     "multimodal_features", "user_value_median",
     # curation
-    "stratified_lang_sample", "token_budget_sample",
+    "stratified_lang_sample",
     "quality_filter_summary", "redact_pii_docs",
     # late r8: exact-dup-canonical train/val/test splits (oracled)
     "leakage_safe_splits",
@@ -108,6 +113,18 @@ _PRIORITY = [
     # join), and stream_upsert_state (a drained Structured Streaming
     # end state — the driver now grades one real stream lifecycle).
     "sequence_packing", "cross_source_overlap", "stream_upsert_state",
+    # r12 rotation (VERDICT r11 #7): four long-green holders rotate
+    # OUT — q5_revenue_by_nation (its multi-join agg kernel stays
+    # in-window via top_suppliers_per_nation + sales_rollup),
+    # rolling_fingerprint_docs (text kernels via text_stats /
+    # lang_id_docs; the rolling hash stays full-sweep-verified),
+    # exact_dedup (hash-group dedup via dedup_clusters +
+    # dedup_keep_newest/dedup_drop_all), and token_budget_sample
+    # (quota sampling via stratified_lang_sample). Rotating IN, never
+    # driver-graded before: tfidf_top_terms, benchmark_contamination,
+    # basket_lift, and the new near_dup_tombstone_state (above).
+    "q5_revenue_by_nation", "rolling_fingerprint_docs", "exact_dedup",
+    "token_budget_sample",
     # NOTE (r4, updated r8): 59 shapes compete for the driver's observed
     # 50-entry window; positions 51+ fall outside it but stay verified
     # each run by tests/test_full_registry_oracle.py and

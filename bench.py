@@ -180,6 +180,11 @@ def main() -> None:
     stream_drains = {
         "stream_span_dedup_state", "stream_quality_state",
         "stream_token_state", "stream_upsert_state",
+        # r12: the tombstone lifecycle entry is the same category — a
+        # full store seed/delete/compact per invocation into a fresh
+        # temp work dir; its cost is the maintenance benches' subject
+        # (BENCH_incremental_*), not a query plan
+        "near_dup_tombstone_state",
     }
     tail_names = [
         n for n in queries

@@ -639,9 +639,81 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic takedown set for the tombstone lifecycle entry: every
+# corpus vec_id ≡ TOMB_RES (mod TOMB_MOD) — ~6% of the table
+TOMB_MOD, TOMB_RES = 17, 3
+
+
+def near_dup_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r12): the end-to-end DELETION lifecycle of the
+    maintained near-dup index (VERDICT r11 Next #6 — takedowns). Seeds
+    the appendable store on a corpus COPY, tombstones every vec_id ≡
+    TOMB_RES (mod TOMB_MOD) via NearDupStore.apply_tombstones (ids +
+    synthesized twins hidden from every read immediately; dead
+    canonicals relabeled), then compacts — which RE-CLUSTERS the
+    remaining keyed rows — and returns the folded final assignment.
+
+    Oracle: the same recursive-CTE closure as near_dup_clusters over
+    the corpus WITHOUT the deleted ids (their twins are synthesized
+    from base rows in SQL, so they vanish with them), with params
+    (hash tier) still derived from the FULL table — matching the
+    store's pinned bits. An oracle-checked row/hash match here is the
+    driver independently confirming delete-then-compact ==
+    rebuild-without-deleted."""
+    import os
+    import shutil
+    import tempfile
+
+    from .nd_store import NearDupStore
+
+    work = tempfile.mkdtemp(prefix="nd_tomb_state_")
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    dst = f"{work}/embeddings.parquet"
+    # driver testdata ships single-file tables; generated corpora are dirs
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    try:
+        bits = S.lsh_bits(S.corpus_count(spark, work))
+        store = NearDupStore(spark, work, bits)
+        store.seed()
+        ids = [
+            r["vec_id"]
+            for r in load_table(spark, work, "embeddings")
+            .filter(F.pmod(F.col("vec_id"), F.lit(TOMB_MOD)) == TOMB_RES)
+            .select("vec_id")
+            .collect()
+        ]
+        res = store.apply_tombstones(ids)
+        if res.get("skipped"):
+            raise RuntimeError(f"tombstone apply skipped: {res}")
+        store.compact()
+        out = store.final_fold().orderBy("vec_id")
+        # materialize before the temp dir can be cleaned up
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_ND_CORPUS_TOMB_SQL = S._ND_CORPUS_SQL.replace(
+    "FROM embeddings",
+    f"FROM embeddings WHERE vec_id % {TOMB_MOD} <> {TOMB_RES}",
+)
+NEAR_DUP_TOMBSTONE_SQL = f"""
+WITH RECURSIVE {S._PARAMS_SQL}, {_ND_CORPUS_TOMB_SQL}, {S._ND_CLUSTERS_SQL}
+SELECT vec_id, canonical_id FROM nd_clusters
+"""
+
+
 EXT_QUERIES = {
     # rows-only: iterative stateful-index maintenance (see docstring)
     "near_dup_incremental_update": (near_dup_incremental_update, None),
+    # oracle-checked deletion lifecycle (r12): delete -> window ->
+    # compact(re-cluster) == rebuild-without-deleted
+    "near_dup_tombstone_state": (
+        near_dup_tombstone_state, NEAR_DUP_TOMBSTONE_SQL,
+    ),
 }
 
 

@@ -46,6 +46,12 @@ run can never poison another configuration's store)::
                    changed; a group's older rows are superseded by
                    construction (latest-writing seq wins — see
                    boundary-read rule below)
+      tomb/        (tombstone seqs only, r12) deleted vec_ids incl.
+                   twins; the seq's row artifacts are present but
+                   EMPTY, its relabels ride the ordinary remap slots,
+                   and every reader excludes the union of live
+                   tombstones — see apply_tombstones for the deletion
+                   contract and window semantics
       meta.json    {batch_fp, p1_remap, final_remap, ...}; written
                    LAST -> seq completeness marker
 
@@ -236,6 +242,7 @@ class NearDupStore:
         self._root_meta_cache: dict | None = None
         self._narrow_cache: dict[tuple[int, str], DataFrame] = {}
         self._tail_cache: dict[tuple[int, str], tuple[int, DataFrame]] = {}
+        self._tomb_cache: dict[tuple[int, int], list[int]] = {}
 
     # ---- root meta / layout helpers -------------------------------------
     def _root_meta(self) -> dict | None:
@@ -383,15 +390,33 @@ class NearDupStore:
         # replay of that batch after a compact is still recognized
         last = self._seq_meta(max_seq) if max_seq > self.upto_seq else None
         keyed = self._keyed_all(max_seq).localCheckpoint()
-        p1 = self._fold("p1", max_seq).localCheckpoint()
-        final = self._fold("final", max_seq).localCheckpoint()
-        # the boundary corpus folds from its OWN stored rows (relabel +
-        # latest-wins) — O(boundary corpus), never a member re-window;
-        # left LAZY (see _commit_generation's memory note)
+        if self.tomb_ids(max_seq):
+            # deletions can SPLIT families (a removed bridge) and folds
+            # can relabel but never split — so a compaction that folds
+            # live tombstones RE-CLUSTERS the remaining keyed rows with
+            # the exact build machinery instead. keyed rows are pure
+            # per-vector functions, so this equals the full rebuild on
+            # corpus-minus-deleted (tests/test_nd_store_tombstones.py);
+            # the cost is a seed-build minus the keyed-corpus
+            # construction (the wide scan/explode), riding the existing
+            # O(corpus) maintenance event. The fresh generation carries
+            # no tombstones — they fold away with their seqs.
+            p1, final = S.two_pass_clusters_from_keyed(keyed)
+            p1 = p1.localCheckpoint()
+            final = final.localCheckpoint()
+            p2b = None  # _commit_generation derives it from (keyed, p1)
+        else:
+            p1 = self._fold("p1", max_seq).localCheckpoint()
+            final = self._fold("final", max_seq).localCheckpoint()
+            # the boundary corpus folds from its OWN stored rows
+            # (relabel + latest-wins) — O(boundary corpus), never a
+            # member re-window; left LAZY (see _commit_generation's
+            # memory note)
+            p2b = self.p2b_fold(max_seq)
         self._commit_generation(
             keyed, p1, final, max_seq,
             last_fp=last.get("batch_fp") if last else None,
-            p2b=self.p2b_fold(max_seq),
+            p2b=p2b,
         )
 
     def _children(self) -> list[str]:
@@ -469,6 +494,7 @@ class NearDupStore:
         )
         self._root_meta_cache = None
         self._composed_cache.clear()
+        self._tomb_cache.clear()
         self._drop_tails()  # the new generation folds the tail away
         self._gc(gen, prev_upto)
 
@@ -666,9 +692,186 @@ class NearDupStore:
     def _keyed_all(self, max_seq: int) -> DataFrame:
         base = self.spark.read.parquet(self._base("keyed")).select(*KEYED_COLS)
         tail = self._tail("keyed", KEYED_COLS, max_seq)
-        if tail is None:
-            return base
-        return base.unionByName(tail.select(*KEYED_COLS))
+        if tail is not None:
+            base = base.unionByName(tail.select(*KEYED_COLS))
+        # live tombstones hide deleted rows from EVERY keyed read —
+        # batches applied in the deletion window can never form an edge
+        # THROUGH a deleted vector (ghost bridge)
+        return self._tomb_exclude(base, "vec_id", max_seq)
+
+    # ---- tombstones -------------------------------------------------------
+    def tomb_ids(self, max_seq: int) -> list[int]:
+        """All tombstoned vec_ids (bases + twins) visible at
+        ``max_seq`` — the union over LIVE tombstone seqs; a compaction
+        re-clusters without them and folds the tombstones away.
+        Driver-side by design: a tombstone batch is takedown-sized
+        (same order as an ingest batch). Corpus-scale deletions should
+        re-seed on the filtered corpus instead."""
+        meta = self._root_meta()
+        if meta is None:
+            return []
+        key = (meta["gen"], max_seq)
+        hit = self._tomb_cache.get(key)
+        if hit is not None:
+            return hit
+        ids: set[int] = set()
+        for seq in range(self.upto_seq + 1, max_seq + 1):
+            m = self._seq_meta(seq)
+            if m is None:  # incomplete tail — stop (readers never pass it)
+                break
+            if m.get("kind") == "tombstone":
+                ids.update(
+                    r["vec_id"]
+                    for r in self.spark.read.parquet(
+                        f"{self._seq_dir(seq)}/tomb"
+                    ).collect()
+                )
+        out = sorted(ids)
+        self._tomb_cache[key] = out
+        return out
+
+    def _tomb_exclude(self, df: DataFrame, col: str, max_seq: int) -> DataFrame:
+        ids = self.tomb_ids(max_seq)
+        if not ids:
+            return df
+        if len(ids) <= _ISIN_MAX:
+            _set_in_threshold(self.spark)
+            return df.filter(~F.col(col).isin(ids))
+        ids_df = self.spark.createDataFrame(
+            ((i,) for i in ids), f"{col} bigint"
+        )
+        return df.join(F.broadcast(ids_df), col, "left_anti")
+
+    def apply_tombstones(self, vec_ids) -> dict:
+        """Delete vectors from the maintained index (takedowns /
+        opt-outs — VERDICT r11 Next #6; the reference has no deletion
+        path at all, append/MERGE only). Contract:
+
+        - ``vec_ids`` are BASE ids; their synthesized twins
+          (vec_id + TWIN_OFFSET) are tombstoned with them.
+        - Immediately after: every fold/lookup/keyed/boundary read
+          excludes the ids, and families whose CANONICAL was deleted
+          relabel to their min REMAINING member through the standard
+          composed-remap mechanism (one narrow fold scan per
+          assignment at delete time, never per read).
+        - WINDOW semantics (until the next compact): labels can be
+          COARSER than a rebuild-without-deleted — a deleted BRIDGE's
+          former family stays merged until re-clustered (folds can
+          relabel but cannot SPLIT). Over-grouping only; a deleted id
+          never resurfaces, and in-window batches compute edges
+          against the filtered keyed corpus. Boundary sets of touched
+          families may also be thinner than the true extremes in the
+          window (deleted extremes are hidden, interior members are
+          not in the stored boundary corpus) — a bounded in-window
+          recall dip for NEW arrivals near the deleted rows, gone at
+          compaction.
+        - The next ``compact()`` re-clusters the remaining keyed rows
+          with the full two-pass machinery and commits a generation
+          EQUAL to the full rebuild on corpus-minus-deleted
+          (equality-tested in tests/test_nd_store_tombstones.py).
+        - Corpus-TABLE rows are the owner's to delete (lakehouse
+          DELETE); the store never reads deleted vectors again either
+          way, but tier derivation (corpus_count) drifts if deleted
+          rows accumulate there — see docs/SCALE.md.
+
+        Idempotent across crash/replay exactly like an ingest batch:
+        the tombstone set's content fingerprint rides the seq meta."""
+        base = sorted({int(v) for v in vec_ids})
+        if not base:
+            return {"skipped": True, "reason": "empty"}
+        ids = sorted({*base, *(v + S.TWIN_OFFSET for v in base)})
+        fp = "tomb:" + hashlib.sha256(
+            json.dumps(ids).encode()
+        ).hexdigest()[:32]
+        meta = self._root_meta() or {}
+        latest = self.latest_seq()
+        if meta.get("last_fp") == fp and latest == self.upto_seq:
+            return {"skipped": True, "seq": latest, "reason": "folded replay"}
+        if latest > self.upto_seq:
+            lmeta = self._seq_meta(latest)
+            if lmeta and lmeta.get("batch_fp") == fp:
+                return {"skipped": True, "seq": latest, "reason": "seq replay"}
+        seq = latest + 1
+        remaps: dict[str, dict[int, int]] = {}
+        for which in ("p1", "final"):
+            fold = self._fold(which, latest)
+            # dead canonicals (the canonical id itself is deleted) ->
+            # min remaining member; bounded collect (<= |ids| rows)
+            dead = self._ids_filtered(fold, "canonical_id", ids)
+            if len(ids) <= _ISIN_MAX:
+                survivors = dead.filter(~F.col("vec_id").isin(ids))
+            else:
+                ids_df = self.spark.createDataFrame(
+                    ((i,) for i in ids), "vec_id bigint"
+                )
+                survivors = dead.join(
+                    F.broadcast(ids_df), "vec_id", "left_anti"
+                )
+            remaps[which] = {
+                r["canonical_id"]: r["m"]
+                for r in survivors.groupBy("canonical_id")
+                .agg(F.min("vec_id").alias("m"))
+                .collect()
+            }
+        self.write_tombstone_seq(
+            seq, fp, ids, remaps["p1"], remaps["final"]
+        )
+        return {
+            "seq": seq, "n_tomb": len(ids),
+            "p1_relabels": len(remaps["p1"]),
+            "final_relabels": len(remaps["final"]),
+        }
+
+    def write_tombstone_seq(
+        self,
+        seq: int,
+        batch_fp: str,
+        tomb_ids: list[int],
+        p1_remap: dict[int, int],
+        final_remap: dict[int, int],
+    ) -> None:
+        """A tombstone seq is a standard seq dir whose row artifacts
+        are EMPTY (so every existing multi-path reader works
+        unchanged) plus a ``tomb/`` id list; the relabels ride the
+        ordinary remap slots in meta. meta.json last, as always."""
+        d = self._seq_dir(seq)
+        empty_keyed = (
+            self.spark.read.parquet(self._base("keyed"))
+            .select(*KEYED_COLS).limit(0)
+        )
+        empty_keyed.write.mode("overwrite").parquet(f"{d}/keyed")
+        empty_keyed.withColumn("__fam", F.col("vec_id")).select(
+            *P2B_COLS
+        ).write.mode("overwrite").parquet(f"{d}/p2b_new")
+        for name in ("p1_new", "final_new"):
+            self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize([], 1),
+                "vec_id bigint, canonical_id bigint",
+            ).write.mode("overwrite").parquet(f"{d}/{name}")
+        self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(
+                [(i,) for i in tomb_ids], 1
+            ),
+            "vec_id bigint",
+        ).write.mode("overwrite").parquet(f"{d}/tomb")
+        fsops.write_text_atomic(
+            f"{d}/meta.json",
+            json.dumps({
+                "seq": seq,
+                "batch_fp": batch_fp,
+                "kind": "tombstone",
+                "n_tomb": len(tomb_ids),
+                "p1_remap": {str(k): v for k, v in p1_remap.items()},
+                "final_remap": {str(k): v for k, v in final_remap.items()},
+                "n_p1_new": 0,
+                "n_final_new": 0,
+            }),
+            self.spark,
+        )
+        self._meta_cache.pop(seq, None)
+        self._composed_cache.clear()
+        self._tomb_cache.clear()
+        self._drop_tails(from_seq=seq)
 
     def _ids_filtered(
         self, df: DataFrame, col: str, ids: list[int]
@@ -729,6 +932,7 @@ class NearDupStore:
         tail = self._tail("keyed", KEYED_COLS, max_seq)
         if tail is not None:
             src = src.unionByName(tail.select("vec_id", "t", "bucket"))
+        src = self._tomb_exclude(src, "vec_id", max_seq)
         rows = (
             self._ids_filtered(src.select("vec_id", "t", "bucket"),
                                "vec_id", ids)
@@ -747,7 +951,7 @@ class NearDupStore:
         tail = self._tail(f"{which}_new", ASSIGN_COLS, max_seq)
         if tail is not None:
             out = out.unionByName(tail.select(*ASSIGN_COLS))
-        return out
+        return self._tomb_exclude(out, "vec_id", max_seq)
 
     def composed_remap(self, which: str, max_seq: int) -> dict[int, int]:
         return dict(self._composed(which, max_seq))
@@ -792,6 +996,7 @@ class NearDupStore:
         tail = self._tail("p1_new", ASSIGN_COLS, max_seq)
         if tail is not None:
             src = src.unionByName(tail.select(*ASSIGN_COLS))
+        src = self._tomb_exclude(src, "vec_id", max_seq)
         rows = (
             self._ids_filtered(src, "canonical_id", sorted(pre))
             .select("vec_id")
@@ -834,6 +1039,7 @@ class NearDupStore:
         caller's post-batch labels (applied AFTER latest-wins: group
         identity at read time is the store's, not the in-flight
         batch's)."""
+        src = self._tomb_exclude(src, "vec_id", max_seq)
         src = self._relabel_fam(src, self._composed("p1", max_seq))
         w = Window.partitionBy("t", "bucket", "__fam")
         src = (
@@ -893,7 +1099,9 @@ class NearDupStore:
     def _fold(self, which: str, max_seq: int) -> DataFrame:
         base = "p1" if which == "p1" else "final"
         paths = [self._base(base)] + self._seq_paths(f"{which}_new", max_seq)
-        df = self.spark.read.parquet(*paths)
+        df = self._tomb_exclude(
+            self.spark.read.parquet(*paths), "vec_id", max_seq
+        )
         rm = self._composed(which, max_seq)
         if not rm:
             return df.select(*ASSIGN_COLS)

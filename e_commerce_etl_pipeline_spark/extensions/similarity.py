@@ -968,6 +968,82 @@ def near_dup_rep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _finalize_two_pass(p1: DataFrame, e2: DataFrame) -> DataFrame:
+    """Contract pass-2 member edges to pass-1 canonicals, run the
+    second components pass, and relabel — the shared tail of both
+    two-pass builders (corpus-artifact and from-keyed)."""
+    from .components import connected_components
+
+    e2c = (
+        e2.join(
+            p1.select(F.col("vec_id").alias("src"),
+                      F.col("canonical_id").alias("__cs")),
+            "src", "left",
+        )
+        .join(
+            p1.select(F.col("vec_id").alias("dst"),
+                      F.col("canonical_id").alias("__cd")),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce(F.col("__cs"), F.col("src")).alias("src"),
+            F.coalesce(F.col("__cd"), F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cc2 = connected_components(e2c, max_iter=64)
+    remap = cc2.select(
+        F.col("node").alias("__c"), F.col("component").alias("__sc")
+    )
+    relabeled = p1.join(
+        remap, p1.canonical_id == F.col("__c"), "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("__sc"), F.col("canonical_id")).alias(
+            "canonical_id"
+        ),
+    )
+    newly = (
+        cc2.select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("canonical_id"),
+        )
+        .join(p1.select("vec_id"), "vec_id", "left_anti")
+    )
+    return relabeled.unionByName(newly)
+
+
+def two_pass_clusters_from_keyed(
+    keyed: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Both assignments (pass-1, final) computed from an EXPLICIT keyed
+    frame with the exact near_dup_clusters machinery. The tombstone
+    compaction path (extensions.nd_store) re-clusters the store's
+    remaining keyed rows after deletions without rebuilding them from
+    the corpus table: keyed rows are pure per-vector functions at a
+    fixed hash tier, so keyed(corpus - D) == keyed(corpus) - rows(D),
+    and running the same two passes over the filtered rows IS the full
+    rebuild on the filtered corpus (equality-tested in
+    tests/test_nd_store_tombstones.py). Returns lazily; the caller
+    checkpoints/writes."""
+    from .components import connected_components
+
+    e1 = chain_edges_arrow(
+        keyed, ["t", "bucket"], NEAR_DUP_CHAIN_W, NEAR_DUP_COS
+    )
+    p1 = connected_components(e1, max_iter=64).select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+    )
+    fam = keyed.join(
+        p1.withColumnRenamed("canonical_id", "__fam"), "vec_id", "left"
+    ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
+    e2 = chain_edges_arrow(
+        p2_boundary_rows(fam), ["t", "bucket"], NEAR_DUP_P2_W, NEAR_DUP_COS
+    )
+    return p1, _finalize_two_pass(p1, e2)
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTER membership with no fence and no drops —
     the recall-preserving scale path for clone-heavy corpora, since r9
@@ -1009,52 +1085,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second over boundary rows only, its width occupancy-capped in
     the kernel), two bounded min-label propagations, narrow relabel
     joins."""
-    from .components import connected_components
-
     def build() -> DataFrame:
-        p1 = near_dup_p1_clusters(spark, sf_dir)
         # pass-2 edges connect MEMBERS; contract each endpoint to its
         # pass-1 canonical (absent -> itself: pass-1 singletons) so the
         # components pass runs over canonicals — exact for min-label
-        # (canonical = min id of its family); self-loops drop out
-        e2 = near_dup_rep_edges(spark, sf_dir)
-        e2c = (
-            e2.join(
-                p1.select(F.col("vec_id").alias("src"),
-                          F.col("canonical_id").alias("__cs")),
-                "src", "left",
-            )
-            .join(
-                p1.select(F.col("vec_id").alias("dst"),
-                          F.col("canonical_id").alias("__cd")),
-                "dst", "left",
-            )
-            .select(
-                F.coalesce(F.col("__cs"), F.col("src")).alias("src"),
-                F.coalesce(F.col("__cd"), F.col("dst")).alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
+        # (canonical = min id of its family); self-loops drop out.
+        # Shared tail with the from-keyed builder: _finalize_two_pass.
+        return _finalize_two_pass(
+            near_dup_p1_clusters(spark, sf_dir),
+            near_dup_rep_edges(spark, sf_dir),
         )
-        cc2 = connected_components(e2c, max_iter=64)
-        remap = cc2.select(
-            F.col("node").alias("__c"), F.col("component").alias("__sc")
-        )
-        relabeled = p1.join(
-            remap, p1.canonical_id == F.col("__c"), "left"
-        ).select(
-            "vec_id",
-            F.coalesce(F.col("__sc"), F.col("canonical_id")).alias(
-                "canonical_id"
-            ),
-        )
-        newly = (
-            cc2.select(
-                F.col("node").alias("vec_id"),
-                F.col("component").alias("canonical_id"),
-            )
-            .join(p1.select("vec_id"), "vec_id", "left_anti")
-        )
-        return relabeled.unionByName(newly)
 
     # _v3: the boundary-row pass-2 answer differs from both the r7/r8
     # single-pass and the first-cut r9 canonical-rep two-pass, so it

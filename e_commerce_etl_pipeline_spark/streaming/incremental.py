@@ -156,6 +156,20 @@ def read_assignment(spark: SparkSession, work_dir: str) -> DataFrame:
     return store.final_fold()
 
 
+def near_dup_delete(spark: SparkSession, work_dir: str, vec_ids) -> dict:
+    """Takedown/opt-out deletion against the maintained near-dup index:
+    tombstones the ids (and their synthesized twins) so every
+    subsequent read excludes them immediately, relabels families whose
+    canonical was deleted, and lets the next compaction re-cluster the
+    remaining rows to full rebuild-equality. See
+    NearDupStore.apply_tombstones for the window-semantics contract.
+    Corpus-TABLE rows are the caller's to delete (lakehouse DELETE)."""
+    store = _store_for(spark, work_dir)
+    if not store.is_seeded():
+        raise store.not_seeded_error()
+    return store.apply_tombstones(vec_ids)
+
+
 def read_p1_assignment(spark: SparkSession, work_dir: str) -> DataFrame:
     """The maintained PASS-1 assignment (the two-pass build's first
     stage), folded the same way."""
