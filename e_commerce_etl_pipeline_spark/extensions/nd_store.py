@@ -380,11 +380,19 @@ class NearDupStore:
             keyed, p1, final, self._max_physical_seq(), p2b=p2b
         )
 
-    def compact(self) -> None:
+    def compact(self, warm_after: bool = True) -> None:
         """Fold the deltas into a fresh sorted generation and retire
         the seq dirs — O(corpus), run every ``compact_every`` batches
         by the stream (amortized) or after a distributed-fallback
-        backfill. Crash-safe: commit is the final ``_META`` rewrite."""
+        backfill. Crash-safe: commit is the final ``_META`` rewrite.
+
+        ``warm_after`` re-warms caches AND pre-touches the fresh
+        generation's wide artifacts on the way out (see warm()): the
+        cold first-read of the new base otherwise lands inside the
+        next batches' maintenance windows (r12 sf100 attribution:
+        81/69 s post-compact batches vs a 24.7 s median, all of it
+        first-read I/O after the compact's write burst evicted the
+        page cache)."""
         max_seq = self.latest_seq()
         # the folded tail seq's fingerprint survives the fold, so a
         # replay of that batch after a compact is still recognized
@@ -418,6 +426,8 @@ class NearDupStore:
             last_fp=last.get("batch_fp") if last else None,
             p2b=p2b,
         )
+        if warm_after:
+            self.warm()
 
     def _children(self) -> list[str]:
         if not fsops.exists(self.root, self.spark):
@@ -625,13 +635,36 @@ class NearDupStore:
         self._drop_tails(from_seq=seq)
 
     def warm(self) -> None:
-        """Build the in-memory narrow caches and spin up the Arrow
-        python-worker pool BEFORE the first maintenance batch — the
-        stream calls this at start so batch 1 costs what batch k costs
-        (without it, batch 1 pays cache materialization + worker
-        startup inside its maintenance window)."""
+        """Build the in-memory narrow caches, pre-touch the WIDE base
+        artifacts, and spin up the Arrow python-worker pool BEFORE the
+        first maintenance batch — the stream calls this at start (and
+        compact() calls it after each generation commit) so batch 1 /
+        the first post-compact batch costs what batch k costs.
+
+        The wide pre-touch exists because of the r12 sf100 variance
+        attribution (BENCH_incremental_append_sf100_r12.json): a
+        generation write (seed/compact) pushes tens of GB through the
+        page cache, and the next batches' pruned reads then pay COLD
+        first-reads of the fresh 30+ GB base — the two post-compact
+        batches ran 81/69 s against a 24.7 s median with identical
+        work stats and GC < 0.5 s; their extra time was exactly the
+        first disk read of the new generation's keyed/p2b files. One
+        sequential scan here (on the maintenance clock, where the
+        corpus-sized work already lives) buys flat per-batch cost
+        after it. The aggregate touches EVERY column chunk (parquet
+        count() alone is answered from footers and reads no data)."""
         for name in ("keyed_idx", "p1", "p1_bycan", "final"):
             self._narrow_base(name).count()
+        for name in ("keyed", "p2b"):
+            df = self.spark.read.parquet(self._base(name))
+            # F.get touches the array column's pages (reader decodes
+            # whole pages, so one element pulls the chunk) and is
+            # out-of-bounds-safe under ANSI, unlike element_at
+            df.select(
+                F.sum(F.get("v", 0)),
+                F.sum("norm"), F.sum("__sig"), F.sum("__proj"),
+                F.sum("bucket"), F.sum("vec_id"), F.sum("t"),
+            ).collect()
         latest = self.latest_seq()
         self.p2b_for_buckets([(0, 0)], latest).count()
         S.chain_edges_arrow(
