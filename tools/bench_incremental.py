@@ -225,6 +225,13 @@ def main() -> None:
         with open(out_file, "w") as fh:
             fh.write(line + "\n")
     print(line)
+    if sf_dir != src_dir:
+        # the work copy is corpus-sized (24 GB at sf100) — leaving it
+        # behind filled the disk across rounds; artifact is written,
+        # so drop it
+        import shutil
+
+        shutil.rmtree(sf_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
