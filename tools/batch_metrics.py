@@ -8,9 +8,8 @@ carries the evidence needed to attribute such a spike:
 
 - JVM GC time/count (ManagementFactory beans — local mode runs all
   executor threads in the ONE jvm, so this is total GC) and heap use;
-- Spark task metrics, two sources: executor summary deltas
-  (totalDuration/GC/shuffle/input) and stage-level spill sums from the
-  app status store;
+- Spark task metrics via executor summary deltas
+  (totalDuration/GC/shuffle/input);
 - the JVM process's real disk I/O (/proc/<pid>/io read_bytes and
   write_bytes — actual block I/O, not cache hits);
 - system pressure: /proc/stat iowait ticks, /proc/meminfo
@@ -57,13 +56,23 @@ def _read_meminfo() -> dict:
     return out
 
 
-def _read_iowait_ticks() -> int:
+def _read_cpu_ticks() -> dict:
+    """Aggregate cpu line: iowait and steal (field 8 — host CPU taken
+    from this VM; the r12 sf100 residual outliers were in-task
+    slowdowns with identical work/IO/GC, i.e. steal-shaped)."""
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()  # "cpu  user nice sys idle iowait ..."
-        return int(parts[5])
+            parts = f.readline().split()  # cpu user nice sys idle iowait irq softirq steal
+        return {
+            "iowait_ticks": int(parts[5]),
+            "steal_ticks": int(parts[8]) if len(parts) > 8 else 0,
+        }
     except (OSError, IndexError, ValueError):
-        return 0
+        return {"iowait_ticks": 0, "steal_ticks": 0}
+
+
+def _read_iowait_ticks() -> int:
+    return _read_cpu_ticks()["iowait_ticks"]
 
 
 class BatchMetrics:
@@ -92,7 +101,7 @@ class BatchMetrics:
         io = _read_proc_io(self._pid)
         s["jvm_read_bytes"] = io.get("read_bytes", 0)
         s["jvm_write_bytes"] = io.get("write_bytes", 0)
-        s["iowait_ticks"] = _read_iowait_ticks()
+        s.update(_read_cpu_ticks())
         s.update({f"mem_{k}": v for k, v in _read_meminfo().items()})
         # Spark-side cumulative task metrics (best-effort internal API)
         try:
@@ -124,10 +133,12 @@ class BatchMetrics:
                 out[k + "_end"] = v
             elif k in before:
                 out["d_" + k] = v - before[k]
-        # iowait ticks are per-CPU centiseconds summed across CPUs;
-        # report as seconds of aggregate iowait
-        if "d_iowait_ticks" in out:
-            out["iowait_sec"] = round(out.pop("d_iowait_ticks") / 100.0, 2)
+        # tick counters are per-CPU centiseconds summed across CPUs;
+        # report as seconds of aggregate time
+        for tick, sec in (("d_iowait_ticks", "iowait_sec"),
+                          ("d_steal_ticks", "steal_sec")):
+            if tick in out:
+                out[sec] = round(out.pop(tick) / 100.0, 2)
         for k in ("d_gc_ms", "d_task_ms", "d_task_gc_ms"):
             if k in out:
                 out[k.replace("_ms", "_sec")] = round(out.pop(k) / 1000.0, 2)
