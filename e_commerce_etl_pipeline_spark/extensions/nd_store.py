@@ -808,7 +808,14 @@ class NearDupStore:
           rows accumulate there — see docs/SCALE.md.
 
         Idempotent across crash/replay exactly like an ingest batch:
-        the tombstone set's content fingerprint rides the seq meta."""
+        the tombstone set's content fingerprint rides the seq meta.
+
+        Version note for MIXED-VERSION reader fleets: a pre-deletion
+        reader does not know to filter ``tomb`` ids and would
+        resurface deleted rows from the base artifacts. This sandbox
+        runs one code version; a rolling production deployment must
+        bump ``LAYOUT`` when enabling deletion so older readers fail
+        loudly (stale-layout error) instead of reading deleted data."""
         base = sorted({int(v) for v in vec_ids})
         if not base:
             return {"skipped": True, "reason": "empty"}
