@@ -385,3 +385,82 @@ def test_streamed_index_supersets_rebuild_on_clone_heavy_corpus(
         {v: c for v, c in streamed.items() if v in full}
     )
     assert not missing, f"rebuild pairs lost: {sorted(missing)[:5]}"
+
+
+def test_stream_delete_stream_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """r12: deletion through the PRODUCTION streaming route. Stream a
+    micro-batch into the maintained index, tombstone a mix of base and
+    streamed ids via near_dup_delete, stream ANOTHER batch while the
+    tombstones are live (its edges must not route through deleted
+    vectors), then compact — the re-clustered store must equal the
+    full rebuild on (grown corpus - deleted)."""
+    from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
+    from e_commerce_etl_pipeline_spark.extensions.similarity import TWIN_OFFSET
+    from e_commerce_etl_pipeline_spark.streaming.incremental import (
+        near_dup_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = str(tmp_path / "work")
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    base.coalesce(1).write.parquet(f"{work}/embeddings.parquet")
+    held = emb.filter(F.col("vec_id") % 10 == 7)
+    schema = emb.select("vec_id", "embedding").schema
+
+    def _stage(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.select("vec_id", "embedding").coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{source}/{name}.parquet")
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(source)
+        )
+        q = near_dup_index_stream(
+            spark, stream, work, checkpoint_dir=f"{work}/_ckpt",
+        )
+        q.awaitTermination(300)
+
+    b0 = held.filter(F.col("vec_id") % 2 == 0)
+    b1 = held.filter(F.col("vec_id") % 2 == 1)
+    _stage(b0, "b0")
+    _drain()
+
+    # tombstone 3 base ids + 2 ids streamed in b0
+    base_ids = [r["vec_id"] for r in base.select("vec_id").limit(3).collect()]
+    b0_ids = [r["vec_id"] for r in b0.select("vec_id").limit(2).collect()]
+    del_ids = sorted(base_ids + b0_ids)
+    res = near_dup_delete(spark, work, del_ids)
+    assert res["n_tomb"] == 2 * len(del_ids), res
+
+    # second micro-batch arrives while the tombstones are live
+    _stage(b1, "b1")
+    _drain()
+
+    mid = _groups(read_assignment(spark, work))
+    for d in del_ids:
+        assert d not in mid and d + TWIN_OFFSET not in mid
+
+    bits = lsh_bits(
+        spark.read.parquet(f"{work}/embeddings.parquet").count()
+    )
+    NearDupStore(spark, work, bits).compact()
+
+    # rebuild reference: the grown corpus minus the deleted rows
+    ref = str(tmp_path / "ref")
+    os.makedirs(ref)
+    (
+        spark.read.parquet(f"{work}/embeddings.parquet")
+        .filter(~F.col("vec_id").isin(del_ids))
+        .coalesce(1).write.parquet(f"{ref}/embeddings.parquet")
+    )
+    assert lsh_bits(
+        spark.read.parquet(f"{ref}/embeddings.parquet").count()
+    ) == bits
+    want = _groups(near_dup_clusters(spark, ref))
+    got = _groups(read_assignment(spark, work))
+    assert got == want
