@@ -19,6 +19,13 @@ Equality of the re-clustered store vs the cold rebuild is asserted,
 not assumed. Prints ONE JSON line; optional argv[1] writes to a file.
 
 Usage: python tools/bench_tombstone.py [OUT_JSON] [SF_DIR] [N_DELETE]
+                                       [--no-rebuild]
+
+``--no-rebuild`` skips the cold-rebuild reference and its equality
+assertion (used at sf100, where the rebuild alone is ~15 min; the
+equality property is pinned at sf0.01/sf10 and by the pytest suite —
+the decade probe only needs the COST numbers). A fold row-count
+check still runs.
 """
 
 from __future__ import annotations
@@ -54,9 +61,11 @@ def _copy_corpus(src_dir: str, dst_dir: str) -> None:
 
 
 def main() -> None:
-    out_file = sys.argv[1] if len(sys.argv) > 1 else None
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf10"
-    n_delete = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    args = [a for a in sys.argv[1:] if a != "--no-rebuild"]
+    do_rebuild = "--no-rebuild" not in sys.argv
+    out_file = args[0] if len(args) > 0 else None
+    sf_dir = args[1] if len(args) > 1 else ".localdata/sf10"
+    n_delete = int(args[2]) if len(args) > 2 else 1000
     spark = get_spark("bench-tombstone")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -100,21 +109,27 @@ def main() -> None:
         plain.compact()
         plain_compact_sec = round(time.time() - t0, 3)
 
-        # full cold rebuild on the filtered corpus (no-deletion-path cost)
-        os.makedirs(f"{work3}", exist_ok=True)
-        emb = load_table(spark, work, "embeddings")
-        kept = emb.filter(~F.col("vec_id").isin(ids))
-        kept.write.parquet(f"{work3}/embeddings.parquet")
-        t0 = time.time()
-        rebuilt = S.near_dup_clusters(spark, work3)
-        n_rebuild = rebuilt.count()
-        rebuild_sec = round(time.time() - t0, 3)
-
-        # same answer, asserted (order-insensitive full compare)
         got = store.final_fold()
         n_got = got.count()
-        diff = got.exceptAll(rebuilt).count() + rebuilt.exceptAll(got).count()
-        assert diff == 0, f"store != rebuild ({diff} differing rows)"
+        rebuild_sec = None
+        equal = None
+        if do_rebuild:
+            # full cold rebuild on the filtered corpus
+            # (no-deletion-path cost) + the equality assertion
+            os.makedirs(f"{work3}", exist_ok=True)
+            emb = load_table(spark, work, "embeddings")
+            kept = emb.filter(~F.col("vec_id").isin(ids))
+            kept.write.parquet(f"{work3}/embeddings.parquet")
+            t0 = time.time()
+            rebuilt = S.near_dup_clusters(spark, work3)
+            rebuilt.count()
+            rebuild_sec = round(time.time() - t0, 3)
+            diff = (
+                got.exceptAll(rebuilt).count()
+                + rebuilt.exceptAll(got).count()
+            )
+            assert diff == 0, f"store != rebuild ({diff} differing rows)"
+            equal = True
 
         out = {
             "metric": "tombstone_cost",
@@ -128,7 +143,7 @@ def main() -> None:
             "plain_compact_sec": plain_compact_sec,
             "rebuild_filtered_sec": rebuild_sec,
             "assignment_rows": n_got,
-            "equal_to_rebuild": True,
+            "equal_to_rebuild": equal,
         }
         from tools.provenance import sf_provenance
         out["provenance"] = sf_provenance(sf_dir)
