@@ -14,6 +14,7 @@ express the semantics; for exact median Spark's ``median`` exists and is
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,11 +30,18 @@ MEDIAN_SCHEMA = T.StructType([
 
 
 def _median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    vals = pdf["value"].sort_values()
+    # Called once per GROUP, so per-call overhead multiplies by the
+    # group count (guide §4.2): np.median over the raw ndarray is an
+    # O(n) introselect — the former sort_values() pre-sort was wasted
+    # work (median() partitions internally) plus a full Series copy.
+    vals = pdf["value"].to_numpy()
     return pd.DataFrame({
-        "user_id": [pdf["user_id"].iloc[0]],
-        "n_events": [len(pdf)],
-        "median_value": [float(vals.median())],
+        "user_id": [pdf["user_id"].iat[0]],
+        "n_events": [len(vals)],
+        # nanmedian, not median: Series.median() skips NaN (Spark NULLs
+        # arrive as NaN), and the SQL twin's median ignores NULLs — the
+        # NaN-skipping semantics are part of the operator's contract
+        "median_value": [float(np.nanmedian(vals))],
     })
 
 

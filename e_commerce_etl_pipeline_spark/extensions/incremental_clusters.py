@@ -225,10 +225,19 @@ def _grow_assignment(
     and contraction-join plan layers, not in tasks). The same
     bounded-metadata class as the repo's top-k collects. Above the
     threshold (huge backfill batches) everything stays distributed."""
-    n_edges = edges.count()
+    # One BOUNDED collect decides the route AND feeds the fast path
+    # (replacing the former count()-then-collect() pair of jobs, guide
+    # §5): the limit caps driver transfer at driver_cc_max_edges + 1
+    # rows, and an over-limit probe is discarded in favor of the
+    # distributed path — a micro-batch (the overwhelmingly common case)
+    # pays exactly one job on the pre-checkpointed edge list.
+    edge_rows = None
+    if batch_id_set is not None:
+        probe_rows = edges.limit(driver_cc_max_edges + 1).collect()
+        if len(probe_rows) <= driver_cc_max_edges:
+            edge_rows = [(r[0], r[1]) for r in probe_rows]
     batch_ids = batch_corpus.select("vec_id")
-    if n_edges <= driver_cc_max_edges and batch_id_set is not None:
-        edge_rows = [(r[0], r[1]) for r in edges.collect()]
+    if edge_rows is not None:
         old_ids = sorted(
             {e for pair in edge_rows for e in pair} - batch_id_set
         )
@@ -444,16 +453,38 @@ def incremental_near_dup_update(
     the grown table — its content fingerprint differs from the base
     corpus's, so the store's keying stays correct with no extra
     invalidation step."""
+    # The batch's BASE ids are collected once and shared by every
+    # driver-side consumer: the TWIN_OFFSET guard (a driver max over the
+    # collected ids — was its own aggregate job), the disjointness guard
+    # (now a pruned BASE-side probe below — was a batch⋈corpus semi-join
+    # job), and both growth stages' fast-path batch_id_set (was a third
+    # collect of base∪twin ids; twins are ids + TWIN_OFFSET by
+    # construction, so they are derived here instead of collected).
+    # Guide §5: three batch-bounded driver jobs folded into one.
+    base_vec_ids = {r[0] for r in new_vecs.select("vec_id").collect()}
     if check_ids:
-        mx = new_vecs.agg(F.max("vec_id")).first()[0]
+        mx = max(base_vec_ids, default=None)
         if mx is not None and mx >= S.TWIN_OFFSET:
             raise ValueError(
                 f"batch vec_id {mx} >= TWIN_OFFSET {S.TWIN_OFFSET}: "
                 "base and twin ids would collide"
             )
         base_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-        clash = new_vecs.join(base_ids, "vec_id", "left_semi").limit(1).count()
-        if clash:
+        # Disjointness probed from the CORPUS side so the corpus-sized
+        # relation is never the build/shuffle side: a micro-batch id set
+        # pushes down as an IN filter on the vec_id scan (PushedFilters
+        # prune at the parquet reader — the same ≤1024-value threshold as
+        # the nd_store readers); backfill-sized batches fall back to a
+        # broadcast semi-join of the batch ids (guide §3.1).
+        if len(base_vec_ids) <= 1024:
+            probe = base_ids.filter(
+                F.col("vec_id").isin(*base_vec_ids)
+            ) if base_vec_ids else None
+        else:
+            probe = base_ids.join(
+                F.broadcast(new_vecs.select("vec_id")), "vec_id", "left_semi"
+            )
+        if probe is not None and probe.limit(1).count():
             raise ValueError(
                 "batch vec_ids overlap the stored corpus; incremental "
                 "update requires disjoint ids"
@@ -480,17 +511,26 @@ def incremental_near_dup_update(
     if prior is None:
         prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
 
-    # batch ids collected ONCE for both growth stages' driver fast
-    # path (micro-batch sized; a huge backfill pays one big collect but
-    # its edge count routes it to the distributed path anyway)
-    batch_id_set = {r[0] for r in batch_ids.collect()}
+    # base ids were collected above; the corpus twins are synthesized at
+    # vec_id + TWIN_OFFSET (batch_near_dup_corpus), so the full batch
+    # id set is derived driver-side with no extra job
+    batch_id_set = base_vec_ids | {
+        i + S.TWIN_OFFSET for i in base_vec_ids
+    }
 
     # ---- stage 1: grow the pass-1 assignment -------------------------
     p1_grown, touched_old = _grow_assignment(
         spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges,
         batch_id_set=batch_id_set,
     )
-    p1_grown = p1_grown.localCheckpoint()
+    # Checkpoint only when the caller threads the grown pass-1 forward
+    # (chained/streaming updates re-read it every subsequent batch). In
+    # the one-shot path it is consumed exactly once — by the stage-2
+    # keyed_fam join inside the all_edges materialization below — so
+    # checkpointing it was a pure extra job: the relabel is a broadcast
+    # join over the persisted prior artifact, cheap to evaluate inline.
+    if return_p1:
+        p1_grown = p1_grown.localCheckpoint()
     LAST_TIMINGS["grow_p1"] = time.time() - _t
     _t = time.time()
 

@@ -1157,50 +1157,85 @@ def near_dup_recall_eval(
         )
         .distinct()
     )
-    per_method: list[DataFrame] = []
+    # ONE pass over the exact ground truth (r12 optimization): the
+    # former per-method formulation re-derived `exact` — the sample ×
+    # corpus brute-force cosine sweep, the dominant cost here — once per
+    # method branch PLUS once for the n_exact denominator (Catalyst does
+    # not share diamond subplans), i.e. 3× at the registry default.
+    # Instead, left-mark each exact pair per method and fold every
+    # count into ONE aggregate over one sweep, then explode the 1-row
+    # aggregate into per-method rows. Outputs are identical:
+    # - fenced: the pair query emits each (vec_a < vec_b) pair at most
+    #   once (single table-0 bucket), so a left join + marker sum equals
+    #   the former left_semi count and cannot inflate n_exact;
+    # - hybrid: cluster assignment is unique per vec_id (multiplicity-1
+    #   left joins); a pair with either end unassigned gives a NULL
+    #   comparison -> counted 0, exactly like the former inner joins.
+    known = [m for m in ("fenced_pairs", "hybrid_clusters") if m in methods]
+    if not known:
+        raise ValueError(f"no known method in {methods!r}")
+    marked = exact
+    aggs = [F.count(F.lit(1)).alias("n_exact")]
     if "fenced_pairs" in methods:
-        fenced = embedding_near_dup_pairs(spark, sf_dir)
-        per_method.append(
-            exact.join(fenced, ["vec_a", "vec_b"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_recovered"))
-            .select(F.lit("fenced_pairs").alias("method"), "n_recovered")
+        fenced = embedding_near_dup_pairs(spark, sf_dir).withColumn(
+            "__f", F.lit(1)
+        )
+        marked = marked.join(fenced, ["vec_a", "vec_b"], "left")
+        # outer coalesce: SUM over zero rows is NULL where the former
+        # count() was 0 — pin the empty-ground-truth case to 0
+        aggs.append(
+            F.coalesce(F.sum(F.coalesce(F.col("__f"), F.lit(0))), F.lit(0))
+            .cast("long").alias("__rec_fenced")
         )
     if "hybrid_clusters" in methods:
         clusters = near_dup_clusters(spark, sf_dir)
-        rec_hybrid = (
-            exact
-            .join(
+        marked = (
+            marked.join(
                 clusters.select(
                     F.col("vec_id").alias("vec_a"),
                     F.col("canonical_id").alias("comp_a"),
                 ),
-                "vec_a",
+                "vec_a", "left",
             )
             .join(
                 clusters.select(
                     F.col("vec_id").alias("vec_b"),
                     F.col("canonical_id").alias("comp_b"),
                 ),
-                "vec_b",
+                "vec_b", "left",
             )
-            .filter(F.col("comp_a") == F.col("comp_b"))
         )
-        per_method.append(
-            rec_hybrid.agg(F.count(F.lit(1)).alias("n_recovered"))
-            .select(F.lit("hybrid_clusters").alias("method"), "n_recovered")
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("comp_a") == F.col("comp_b"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("__rec_hybrid")
         )
-    if not per_method:
-        raise ValueError(f"no known method in {methods!r}")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    rows = per_method[0]
-    for extra in per_method[1:]:
-        rows = rows.unionByName(extra)
-    return rows.crossJoin(n_exact).select(
-        "method", "n_exact", "n_recovered",
-        F.when(
-            F.col("n_exact") > 0,
-            F.col("n_recovered").cast("double") / F.col("n_exact"),
-        ).alias("recall"),
+    rec_col = {
+        "fenced_pairs": "__rec_fenced", "hybrid_clusters": "__rec_hybrid",
+    }
+    return (
+        marked.agg(*aggs)
+        .select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(m).alias("method"),
+                    F.col(rec_col[m]).alias("n_recovered"),
+                )
+                for m in known
+            ])).alias("__m"),
+            "n_exact",
+        )
+        .select(
+            F.col("__m.method").alias("method"), "n_exact",
+            F.col("__m.n_recovered").alias("n_recovered"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("__m.n_recovered").cast("double") / F.col("n_exact"),
+            ).alias("recall"),
+        )
     )
 
 
