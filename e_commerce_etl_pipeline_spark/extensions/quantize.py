@@ -64,30 +64,48 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qdot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
-
-
 def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k in int8 space: same O(Q×N) shape as
     ``brute_force_topk`` but every pair costs an integer dot product over
     4× less data — the quantization payoff measured on the same query
     set. Ranking key is the quantized cosine (exact-integer dot over
-    sqrt of exact-integer norm product)."""
+    sqrt of exact-integer norm product).
+
+    r12: scored in ONE Arrow pass with per-task top-k (see
+    similarity._topk_scored_arrow) instead of a BroadcastNestedLoopJoin
+    feeding a full-width ranking window. The integer dot runs as an
+    int64 matmul — BIGINT sums are order-independent, so unlike the
+    float kernels no accumulation-order care is needed — and the one
+    trailing division mirrors the JVM's ``dot.cast(double) /
+    sqrt((qqn·qn).cast(double))`` exactly (products ≤ ~1.1e12 < 2^53
+    are exact doubles). Identical ranking, identical output."""
+    import numpy as np
+
+    from .similarity import _topk_scored_arrow
+
     qv = _quantized(spark, sf_dir)
-    queries = qv.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
-        F.col("qn").alias("qqn"),
-    )
-    pairs = queries.join(qv, F.col("vec_id") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("neighbor_id"),
-        (_qdot(F.col("qq"), F.col("q")).cast("double")
-         / F.sqrt((F.col("qqn") * F.col("qn")).cast("double"))).alias("qcos"),
+    rows = qv.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "q", "qn"
+    ).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank long, neighbor_id long"
+        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in rows], dtype=np.int64)
+    qqn = np.array([r[2] for r in rows], dtype=np.int64)
+
+    def score_batch(pdf):
+        vmat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        qn = pdf["qn"].to_numpy(dtype=np.int64)
+        dots = qmat @ vmat.T  # exact int64
+        return dots.astype(np.float64) / np.sqrt(
+            (qqn[:, None] * qn[None, :]).astype(np.float64)
+        )
+
+    scored = _topk_scored_arrow(
+        qv.select("vec_id", "q", "qn"), qids, score_batch, TOP_K,
+        score_col="qcos",
     )
     w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
     return (

@@ -148,18 +148,143 @@ def corpus_count(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+def _collect_queries(df: DataFrame, id_col: str = "vec_id"):
+    """Collect a BOUNDED query/sample vector set to the driver as numpy
+    arrays (ids, matrix, norms) — the same bounded-metadata class as the
+    1,024-row centroid collect. Caller guarantees the row bound (≤
+    N_QUERIES / N_ND_SAMPLE)."""
+    import numpy as np
+
+    rows = df.select(id_col, "v", "norm").collect()
+    if not rows:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.array([r[2] for r in rows], dtype=np.float64)
+    return ids, mat, norms
+
+
+def _query_scores(qmat, qnorms, pdf):
+    """(n_queries × batch) cosine matrix, bit-identical to the JVM fold:
+    the dim loop accumulates ``acc += q_i · v_i`` strictly left to right
+    (numpy multiply-then-add per element, no reassociation/FMA — the
+    same two IEEE roundings as ``aggregate``'s fold step and the SQL
+    oracle's left-associated sum), and the division mirrors the JVM's
+    ``dot / (qnorm * norm)`` operand order. Norms arrive PRECOMPUTED
+    from with_norm — never recomputed here, so their bits match too."""
+    import numpy as np
+
+    vmat = np.stack(pdf["v"].to_numpy())
+    norms = pdf["norm"].to_numpy(dtype=np.float64)
+    acc = np.zeros((qmat.shape[0], len(pdf)))
+    for i in range(qmat.shape[1]):
+        acc += qmat[:, i, None] * vmat[None, :, i]
+    return acc / (qnorms[:, None] * norms[None, :])
+
+
+def _topk_scored_arrow(
+    part: DataFrame, qids, score_batch, k, score_col: str = "cos"
+) -> DataFrame:
+    """(qid, neighbor_id, <score_col>) candidates for the global
+    per-query top-k: ONE Arrow pass scores every query×row pair
+    vectorized (guide §4.2 — ``score_batch(pdf)`` returns the
+    n_queries × batch score matrix) and keeps a running top-k per query
+    PER TASK, so only ≤ n_queries·k rows leave each task — the former
+    BroadcastNestedLoopJoin shipped every scored pair (n_queries ×
+    corpus rows) into the ranking window's exchange (guide §2.3:
+    aggregate before you shuffle). Partition top-k is exact: the global
+    top-k is a subset of the union of per-task top-ks under the
+    identical (score desc, neighbor_id asc) order the final window
+    uses. Executor state is n_queries·(k + batch) doubles — bounded."""
+    import numpy as np
+    import pandas as pd
+
+    nq = len(qids)
+
+    def gen(batches):
+        cur_cos = [None] * nq
+        cur_nid = [None] * nq
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cos = score_batch(pdf)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            for qi in range(nq):
+                valid = ids != qids[qi]  # self-pair exclusion
+                c, n = cos[qi][valid], ids[valid]
+                if cur_cos[qi] is not None:
+                    c = np.concatenate([cur_cos[qi], c])
+                    n = np.concatenate([cur_nid[qi], n])
+                if len(c) > k:
+                    # same total order as the final window: score desc
+                    # (exact: negation flips IEEE order), id asc on ties
+                    sel = np.lexsort((n, -c))[:k]
+                    c, n = c[sel], n[sel]
+                cur_cos[qi], cur_nid[qi] = c, n
+        out = [
+            (np.full(len(cur_nid[qi]), qids[qi], dtype=np.int64),
+             cur_nid[qi], cur_cos[qi])
+            for qi in range(nq)
+            if cur_nid[qi] is not None and len(cur_nid[qi])
+        ]
+        if out:
+            yield pd.DataFrame({
+                "qid": np.concatenate([o[0] for o in out]),
+                "neighbor_id": np.concatenate([o[1] for o in out]),
+                score_col: np.concatenate([o[2] for o in out]),
+            })
+
+    return part.mapInPandas(
+        gen, f"qid long, neighbor_id long, {score_col} double"
+    )
+
+
+def _threshold_pairs_arrow(
+    corpus: DataFrame, sids, smat, snorms, threshold: float
+) -> DataFrame:
+    """Unordered (vec_a < vec_b) pairs of a bounded driver-held sample
+    against every corpus row with cos >= threshold — the exact
+    ground-truth sweep of the recall gates, as ONE Arrow pass (guide
+    §4.2) instead of a BroadcastNestedLoopJoin scoring each pair with
+    the interpreted JVM fold. Bit-identical doubles (see _query_scores)
+    against the same threshold → identical pair set."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cos = _query_scores(smat, snorms, pdf)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sel = (cos >= threshold) & (ids[None, :] != sids[:, None])
+            qi, j = np.nonzero(sel)
+            if len(qi):
+                yield pd.DataFrame({
+                    "vec_a": np.minimum(sids[qi], ids[j]),
+                    "vec_b": np.maximum(sids[qi], ids[j]),
+                })
+
+    return corpus.select("vec_id", "v", "norm").mapInPandas(
+        gen, "vec_a long, vec_b long"
+    )
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    q = _collect_queries(emb.filter(F.col("vec_id") < N_QUERIES))
+    if q is None:
+        return spark.createDataFrame(
+            [], "qid long, rank long, neighbor_id long"
+        )
+    qids, qmat, qnorms = q
+    scored = _topk_scored_arrow(
+        emb.select("vec_id", "v", "norm"), qids,
+        lambda pdf: _query_scores(qmat, qnorms, pdf), TOP_K,
     )
-    pairs = queries.join(emb, F.col("vec_id") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias("cos"),
-    )
+    # final exact ranking over ≤ n_queries·k·n_tasks candidate rows —
+    # the only exchange left in the plan (r12: was a full-width window
+    # over every scored pair behind a BroadcastNestedLoopJoin)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -606,6 +731,86 @@ def near_dup_fence_observed_drops(sf_dir: str) -> int | None:
         return None
 
 
+def _bucket_pairs_arrow(corpus: DataFrame, threshold: float) -> DataFrame:
+    """Verified within-bucket pairs (vec_a < vec_b, cos >= threshold) as
+    ONE Arrow pass over a bucket-fenced corpus (bucket, vec_id, v,
+    norm). One repartition co-locates each bucket; rows are sorted by
+    (bucket, vec_id) so in-run pair enumeration (i < j) IS the
+    ``a.vec_id < b.vec_id`` condition; pair cosines accumulate with the
+    left-associated dim loop (bit-identical to the JVM fold / SQL
+    oracle — see _query_scores). Memory is bounded per batch: the only
+    rows carried across Arrow batches are the current (last) bucket
+    run, ≤ the caller's fence cap; per-dim gathers avoid materializing
+    pair-sized vector copies."""
+    import numpy as np
+    import pandas as pd
+
+    part = corpus.repartition(F.col("bucket")).sortWithinPartitions(
+        "bucket", "vec_id"
+    )
+
+    def _emit(pdf):
+        m = len(pdf)
+        if m < 2:
+            return None
+        buckets = pdf["bucket"].to_numpy()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vmat = np.stack(pdf["v"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype=np.float64)
+        chg = np.ones(m, dtype=bool)
+        chg[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(chg)
+        ends = np.append(starts[1:], m)
+        ii_all, jj_all = [], []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            ii, jj = np.triu_indices(sz, 1)
+            ii_all.append(ii + s)
+            jj_all.append(jj + s)
+        if not ii_all:
+            return None
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        acc = np.zeros(len(ii))
+        for i in range(vmat.shape[1]):  # left-assoc dim loop
+            acc += vmat[ii, i] * vmat[jj, i]
+        cos = acc / (norms[ii] * norms[jj])
+        sel = cos >= threshold
+        if not sel.any():
+            return None
+        return pd.DataFrame({
+            "vec_a": ids[ii[sel]], "vec_b": ids[jj[sel]],
+        })
+
+    def gen(batches):
+        carry = None
+        for new in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, new], ignore_index=True)
+            else:
+                pdf = new
+            m = len(pdf)
+            if not m:
+                continue
+            buckets = pdf["bucket"].to_numpy()
+            neq = np.flatnonzero(buckets != buckets[m - 1])
+            last_start = int(neq[-1]) + 1 if len(neq) else 0
+            # .copy(): an iloc slice is a VIEW pinning the whole frame
+            carry = pdf.iloc[last_start:].copy()
+            if last_start:
+                out = _emit(pdf.iloc[:last_start])
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _emit(carry)
+            if out is not None:
+                yield out
+
+    return part.mapInPandas(gen, "vec_a long, vec_b long")
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str,
     max_bucket_vecs: int = MAX_LSH_BUCKET_VECS,
@@ -627,19 +832,18 @@ def embedding_near_dup_pairs(
     corpus = _fence_buckets(
         _near_dup_corpus(spark, sf_dir), cap=max_bucket_vecs, obs_key=sf_dir
     )
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        (dot(F.col("a.v"), F.col("b.v"))
-         / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+    # r12: the former bucket-equality SELF-JOIN scored each candidate
+    # pair with the interpreted per-pair JVM fold and shuffled the
+    # corpus twice (both join sides). One Arrow pass replaces it: one
+    # shuffle co-locates each bucket, in-partition all-pairs cosines run
+    # vectorized (guide §4.2), and only the verified pairs leave the
+    # task. The emitted pair SET is identical — same (a.bucket ==
+    # b.bucket AND a.vec_id < b.vec_id) enumeration, bit-identical
+    # left-associated dot (see _query_scores) against the same
+    # threshold; the fence Observation rides the same plan.
+    return _bucket_pairs_arrow(
+        corpus.select("bucket", "vec_id", "v", "norm"), NEAR_DUP_COS
     )
-    return pairs.filter(F.col("cos") >= NEAR_DUP_COS).select("vec_a", "vec_b")
 
 
 def tabled_buckets(df: DataFrame, bits: int) -> DataFrame:
@@ -1137,26 +1341,22 @@ def near_dup_recall_eval(
     scores both): the production cluster pipeline gates itself on
     ("hybrid_clusters",) without paying for the fenced pair query."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    sample = (
+    # r12: the hash-ranked sample (bounded at N_ND_SAMPLE) is collected
+    # once and the ground-truth sweep runs as one Arrow pass over the
+    # corpus (see _threshold_pairs_arrow) — the former formulation
+    # scored sample × corpus through a BroadcastNestedLoopJoin with the
+    # interpreted per-pair fold. Identical pair set (bit-identical
+    # doubles vs the same threshold, same least/greatest + distinct).
+    s = _collect_queries(
         corpus.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_ND_SAMPLE)
-        .select(
-            F.col("vec_id").alias("sid"), F.col("v").alias("sv"),
-            F.col("norm").alias("sn"),
-        )
     )
-    exact = (
-        sample.join(corpus, F.col("vec_id") != F.col("sid"))
-        .filter(
-            dot(F.col("sv"), F.col("v")) / (F.col("sn") * F.col("norm"))
-            >= NEAR_DUP_COS
-        )
-        .select(
-            F.least("sid", "vec_id").alias("vec_a"),
-            F.greatest("sid", "vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
+    if s is None:
+        exact = spark.createDataFrame([], "vec_a long, vec_b long")
+    else:
+        exact = _threshold_pairs_arrow(
+            corpus, s[0], s[1], s[2], NEAR_DUP_COS
+        ).distinct()
     # ONE pass over the exact ground truth (r12 optimization): the
     # former per-method formulation re-derived `exact` — the sample ×
     # corpus brute-force cosine sweep, the dominant cost here — once per
