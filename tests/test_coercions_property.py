@@ -6,6 +6,7 @@ per example set to keep the suite fast."""
 from __future__ import annotations
 
 import datetime
+import re
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -34,14 +35,49 @@ def _run(spark, values, col_builder, in_type):
 
 
 # --- safe_int: int(float(str(v))) with null on failure -------------------
+#
+# The float() step is Spark's try_cast(string as double), which delegates
+# to java.lang.Double.parseDouble — NOT Python float(). Hypothesis caught
+# the divergences (r12, input '0\x1f'): Java trims ALL chars <= U+0020 at
+# both ends (Python strips only Unicode whitespace), accepts an f/F/d/D
+# suffix and hex floats ('1f' -> 1.0, '0x1p1' -> 2.0), and accepts ONLY
+# ASCII digits (Python float() takes Unicode digits and '1_0'). Spark's
+# special literals (inf/nan, any case) all become NULL at the long cast,
+# so the model can ignore them. The long step truncates toward zero and
+# nulls outside the long range (try_cast semantics).
+
+_JAVA_DEC = re.compile(
+    r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?", re.ASCII
+)
+_JAVA_HEX = re.compile(
+    r"[+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+    r"[pP][+-]?[0-9]+[fFdD]?",
+    re.ASCII,
+)
+
+
+def _java_trim(t):
+    # String.trim(): drop leading/trailing chars <= U+0020
+    i, j = 0, len(t)
+    while i < j and t[i] <= "\x20":
+        i += 1
+    while j > i and t[j - 1] <= "\x20":
+        j -= 1
+    return t[i:j]
+
 
 def model_safe_int(s):
     if s is None:
         return None
-    try:
-        return int(float(str(s)))
-    except (ValueError, OverflowError):
+    t = _java_trim(str(s))
+    if _JAVA_DEC.fullmatch(t):
+        d = float(t.rstrip("fFdD"))
+    elif _JAVA_HEX.fullmatch(t):
+        d = float.fromhex(t.rstrip("fFdD"))
+    else:
         return None
+    i = int(d)  # double -> long truncates toward zero
+    return i if -(2 ** 63) <= i <= 2 ** 63 - 1 else None
 
 
 @SETTINGS
