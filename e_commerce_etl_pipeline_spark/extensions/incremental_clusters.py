@@ -196,7 +196,7 @@ def _grow_assignment(
     batch_corpus: DataFrame,
     driver_cc_max_edges: int,
     batch_id_set: set[int] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, dict | None]:
     """Grow ``prior`` (vec_id, canonical_id) with cosine-verified
     ``edges`` (src, dst — endpoints may be batch members, prior
     members, or prior-absent singletons) plus self-edges registering
@@ -206,8 +206,12 @@ def _grow_assignment(
     graph — exact, not an approximation); the components pass therefore
     runs on a graph sized by the BATCH, never the corpus; the only
     corpus-sized work is one broadcast relabel scan of the narrow
-    prior. Returns (grown assignment, old touched node ids) — the
-    latter is what the caller's stage-2 churn scope needs. The grown
+    prior. Returns (grown assignment, old touched node ids, fast-path
+    info) — the second is what the caller's stage-2 churn scope needs;
+    the third is ``{"old_ids", "cid_of"}`` when the driver fast path
+    ran (None otherwise), letting the caller derive touched-family
+    canonicals without re-joining the prior (guide §5: that mapping is
+    already on the driver). The grown
     assignment covers prior nodes, the whole batch corpus, AND any
     prior-absent old vector that gained an edge (an old pass-1
     singleton absorbed by the batch — dropping it would leave an
@@ -298,7 +302,9 @@ def _grow_assignment(
         old_nodes = spark.createDataFrame(
             [(i,) for i in old_ids] or [], "vec_id bigint"
         )
+        fast_info = {"old_ids": old_ids, "cid_of": cid_of}
     else:
+        fast_info = None
         old_nodes = (
             edges.select(F.col("src").alias("vec_id"))
             .unionByName(edges.select(F.col("dst").alias("vec_id")))
@@ -355,7 +361,7 @@ def _grow_assignment(
             "canonical_id"
         ),
     )
-    return relabeled.unionByName(non_prior), old_nodes
+    return relabeled.unionByName(non_prior), old_nodes, fast_info
 
 
 def _touched_family_members(
@@ -519,7 +525,7 @@ def incremental_near_dup_update(
     }
 
     # ---- stage 1: grow the pass-1 assignment -------------------------
-    p1_grown, touched_old = _grow_assignment(
+    p1_grown, touched_old, fast1 = _grow_assignment(
         spark, prior_p1, new_edges, batch_corpus, driver_cc_max_edges,
         batch_id_set=batch_id_set,
     )
@@ -544,7 +550,36 @@ def incremental_near_dup_update(
     # either way), and the batch brings its own new families. Touched
     # family mass is batch-scale (bounded by batch size x family
     # sizes).
-    touched_members = _touched_family_members(prior_p1, touched_old)
+    if fast1 is not None:
+        # Stage 1 took the driver route, so the touched→canonical
+        # mapping is ALREADY on the driver (old_ids + cid_of): build
+        # the touched-canonical set locally instead of re-joining the
+        # corpus-sized prior (one broadcast join + distinct removed —
+        # guide §2.4/§5). Same set as _touched_family_members'
+        # touched_canon by construction: canonicals of touched members
+        # (prior-absent singletons are their own canonical) plus every
+        # touched id (non-canonical ids match nothing in the semi-join
+        # below, exactly like the distributed form).
+        oid = fast1["old_ids"]
+        cid = fast1["cid_of"]
+        tc = sorted(set(oid) | {cid.get(o, o) for o in oid})
+        tc_df = spark.createDataFrame(
+            [(i,) for i in tc] or [], "vec_id bigint"
+        )
+        if tc and len(tc) <= 1024:
+            fam_members = prior_p1.filter(
+                F.col("canonical_id").isin(*tc)
+            ).select("vec_id")
+        else:
+            fam_members = prior_p1.join(
+                F.broadcast(
+                    tc_df.withColumnRenamed("vec_id", "canonical_id")
+                ),
+                "canonical_id", "left_semi",
+            ).select("vec_id")
+        touched_members = fam_members.unionByName(tc_df).distinct()
+    else:
+        touched_members = _touched_family_members(prior_p1, touched_old)
     keyed = S.nd_keyed_corpus(spark, sf_dir)
     batch_keyed = S.with_chain_keys(
         _tabled_all(batch_corpus, True, bits)
@@ -577,7 +612,7 @@ def incremental_near_dup_update(
     _t = time.time()
 
     # ---- final: grow the prior final assignment with both edge sets --
-    grown, _ = _grow_assignment(
+    grown, _, _ = _grow_assignment(
         spark, prior, all_edges, batch_corpus, driver_cc_max_edges,
         batch_id_set=batch_id_set,
     )
@@ -630,6 +665,11 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
         F.col("vec_id").alias("__src_id"),
     )
+    # NOT pinned as a local table: an A/B bisect (r12) measured the
+    # createDataFrame round trip of these 8 rows SLOWER than letting
+    # each consumer re-derive the pushed-limit parquet subtree
+    # (min-of-5 same-session: 11.6 s vs 8.2 s) — the Python→JVM local
+    # relation costs more than the repeated tiny scans it removes.
     # narrow (two longs/row); checkpointed because five audit branches
     # below would each re-derive the relabel plan otherwise
     updated = incremental_near_dup_update(
