@@ -37,6 +37,8 @@ from ..plans.queries import load_table
 
 N_HASHES = 8
 BAND_SIZE = 4  # -> 2 bands; P(candidate) ~ 1-(1-j^4)^2, high for j >= 0.7
+N_BANDS = N_HASHES // BAND_SIZE
+BAND_COLS = [f"band_{b}" for b in range(N_BANDS)]
 JACCARD_THRESHOLD = 0.7
 
 
@@ -163,13 +165,11 @@ FROM corpus GROUP BY 1
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash band keys (the LSH bucketing state)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", shingle_set(F.col("text")).alias("__s"))
-        .select("doc_id", shingle_hexes(F.col("__s")).alias("__h"))
-        .select("doc_id", *band_keys_from_hexes(F.col("__h")))
-    )
+    """Per-document MinHash band keys (the LSH bucketing state) —
+    served from the persisted shingle/band artifact (r12): the keys are
+    exactly the columns real_shingles precomputes, so this is a
+    projection of the signature table, not a recompute."""
+    return real_shingles(spark, sf_dir).select("doc_id", *BAND_COLS)
 
 
 _SH = SHINGLES_SQL.format(w="w")
@@ -213,16 +213,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__w")
         )
-        .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles")),
+        .select("doc_id", shingles_from_words(F.col("__w")).alias("shingles"))
+        .select(
+            "doc_id", "shingles",
+            *band_keys_from_hexes(shingle_hexes(F.col("shingles"))),
+        ),
     )
     # Narrow join payload: the band self-join carries only (doc_id, band);
     # the (large) shingle arrays re-attach afterwards by key. At corpus
-    # scale this keeps the candidate-generation shuffle tiny.
+    # scale this keeps the candidate-generation shuffle tiny. Band keys
+    # are PART OF the persisted artifact (r12): the self-join references
+    # this frame twice and Catalyst shares no diamond subplans, so the
+    # former per-query banding re-paid the per-shingle md5 pass 2x per
+    # invocation (measured ~0.6 s/pass at sf0.1 — guide §1.2: don't
+    # recompute what the index already knows).
     banded = sh.select(
-        "doc_id", shingle_hexes(F.col("shingles")).alias("__h")
-    ).select(
         "doc_id",
-        F.posexplode(F.array(*band_keys_from_hexes(F.col("__h"))))
+        F.posexplode(F.array(*[F.col(c) for c in BAND_COLS]))
         .alias("band_idx", "band_key"),
     )
     a = banded.alias("a")
@@ -391,9 +398,13 @@ SELECT doc_id, {bits} AS simhash16 FROM v
 
 
 def real_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, source, shingles) over the REAL corpus —
-    shared by cross_source_overlap and fusion.lexical_semantic_pairs,
-    cached per table path like the mutated-corpus shingle set above."""
+    """Persisted (doc_id, source, shingles, band_0..band_{B-1}) over the
+    REAL corpus — shared by cross_source_overlap,
+    fusion.lexical_semantic_pairs and minhash_signatures, cached per
+    table path like the mutated-corpus shingle set above. Band keys are
+    precomputed at build (r12): the pair queries' band self-joins
+    reference the frame twice per invocation, and recomputing the
+    per-shingle md5 pass per reference was the dominant map cost."""
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
@@ -405,6 +416,10 @@ def real_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_id", "source",
                     shingles_from_words(F.col("__w")).alias("shingles"))
+            .select(
+                "doc_id", "source", "shingles",
+                *band_keys_from_hexes(shingle_hexes(F.col("shingles"))),
+            )
         )
 
     return index_store.cached_df(
@@ -428,10 +443,8 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches exactly."""
     sh = real_shingles(spark, sf_dir)
     banded = sh.select(
-        "doc_id", shingle_hexes(F.col("shingles")).alias("__h")
-    ).select(
         "doc_id",
-        F.posexplode(F.array(*band_keys_from_hexes(F.col("__h"))))
+        F.posexplode(F.array(*[F.col(c) for c in BAND_COLS]))
         .alias("band_idx", "band_key"),
     )
     a = banded.alias("a")

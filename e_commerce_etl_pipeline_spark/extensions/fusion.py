@@ -25,14 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup_fuzzy import (
+    BAND_COLS,
     JACCARD_THRESHOLD,
     _SH,
     WORDS_SQL,
     _band_sql_exprs,
-    band_keys_from_hexes,
     jaccard,
     real_shingles,
-    shingle_hexes,
 )
 from .similarity import _dot_sql, _emb, _norm_sql
 
@@ -45,11 +44,11 @@ def lexical_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only pairs where both documents have a vector appear (the corpus
     contract: doc_id keys both tables)."""
     sh = real_shingles(spark, sf_dir)
+    # band keys precomputed in the persisted artifact (r12) — the
+    # self-join below references them twice; see real_shingles
     banded = sh.select(
-        "doc_id", shingle_hexes(F.col("shingles")).alias("__h")
-    ).select(
         "doc_id",
-        F.posexplode(F.array(*band_keys_from_hexes(F.col("__h"))))
+        F.posexplode(F.array(*[F.col(c) for c in BAND_COLS]))
         .alias("band_idx", "band_key"),
     )
     a = banded.alias("a")
