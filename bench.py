@@ -238,6 +238,43 @@ def main() -> None:
     # in recovered near-dup pairs, and what the chain-link cluster
     # hybrid recovers — the number a user needs before trusting either
     # path on a clone-heavy corpus.
+    # Map-only supplement (r12, guide §1.4): for queries whose plan is a
+    # pure cardinality-preserving projection over one scan, the timed
+    # count() action PRUNES the computed columns entirely (the scan reads
+    # zero columns — verified: simhash_docs counts in 0.26 s but computes
+    # in 2.9 s under the noop sink). The count-based `queries`/`value`
+    # series stays EXACTLY as in r2-r11 (same action, same comparability);
+    # this block records the honest compute cost of those entries
+    # separately via a noop write, as `map_only_noop_warm` (min of 2 warm
+    # repeats). List derived by scanning every registry plan for
+    # all-empty ReadSchema under count() at r12; regenerate the same way
+    # if entries change shape.
+    MAP_ONLY_PRUNED = [
+        "text_stats", "lang_id_docs", "simhash_docs", "redact_pii_docs",
+        "coercion_kernel_events", "load_statistics", "row_count_report",
+        "schema_aligned_events", "asof_last_purchase",
+        "user_running_totals", "training_shards", "funnel_conversion",
+        "gopher_quality_flags", "repetition_flags", "unicode_clean_docs",
+    ]
+    map_only_noop_warm: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NOOP", "1") != "0":
+        for name in MAP_ONLY_PRUNED:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite").save()
+                    samples.append(time.time() - t0)
+                map_only_noop_warm[name] = round(min(samples), 3)
+            except Exception:  # noqa: BLE001 — supplement must not fail bench
+                pass
+
     near_dup_recall = None
     try:
         from e_commerce_etl_pipeline_spark.extensions.similarity import (
@@ -271,6 +308,7 @@ def main() -> None:
             round(sum(warm.values()) + sum(tail_warm.values()), 3)
             if valid and not tail_errors else None
         ),
+        "map_only_noop_warm": map_only_noop_warm,
         "basket_fence_dropped_rows": basket_dropped,
         "lsh_fence_dropped_vecs": lsh_dropped,
         "near_dup_recall": near_dup_recall,

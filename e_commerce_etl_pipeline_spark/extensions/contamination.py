@@ -153,7 +153,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, stopword diversity, symbol-to-word ratio) over this corpus's
     deterministic text."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words_col(F.col("text"))
+    # words materialized as a column: the six HOF consumers below get no
+    # common-subexpression reuse on an inline split (same caveat as
+    # shingles_from_words / lang_id_from_words, r12)
+    docs = docs.select(
+        "doc_id", "lang", words_col(F.col("text")).alias("__w")
+    )
+    w = F.col("__w")
     n_words = F.size(w)
     mwl = (
         F.aggregate(F.transform(w, F.length), F.lit(0).cast("long"),

@@ -338,17 +338,22 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
 SIMHASH_BITS = 16
 
 
-def simhash(words: Column) -> Column:
-    """16-bit SimHash: per word, 16 bits from the first 4 hex digits of
-    md5(word); bit votes +1/-1; sign per bit. Emitted as a bit-string so
-    both engines agree exactly."""
+def word_vals16(words: Column) -> Column:
+    """Per-word 16-bit hash values: first 4 hex digits of md5 -> int
+    (base conv) — ONE hashing pass over the word array."""
+    return F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int")
+    )
 
-    # per-word 16-bit value: first 4 hex digits of md5 -> int (base conv)
-    def word_val(w: Column) -> Column:
-        return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int")
 
-    vals = F.transform(words, word_val)
-
+def simhash_from_vals(vals: Column) -> Column:
+    """16-bit SimHash votes over a *materialized* per-word value column:
+    bit votes +1/-1; sign per bit; emitted as a bit-string so both
+    engines agree exactly. Same CSE caveat as shingles_from_words: the
+    16 per-bit folds each re-evaluate an inline ``vals`` expression
+    (16× the md5 pass — r12, measured 3.8× the whole query under the
+    noop sink), so callers must select word_vals16 into a column
+    first."""
     def vote_merge(bit: int):
         # closure, not default-arg lambda (those params would become Columns)
         return lambda acc, v: acc + F.when(
@@ -362,13 +367,23 @@ def simhash(words: Column) -> Column:
     return F.concat(*bits)
 
 
+def simhash(words: Column) -> Column:
+    """Single-expression form for tests/small inputs (re-hashes the
+    words per bit); hot paths materialize word_vals16 first."""
+    return simhash_from_vals(word_vals16(words))
+
+
 def word_set(text: Column) -> Column:
     return F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(word_set(F.col("text"))).alias("simhash16"))
+    return (
+        docs.select("doc_id", word_set(F.col("text")).alias("__ws"))
+        .select("doc_id", word_vals16(F.col("__ws")).alias("__v"))
+        .select("doc_id", simhash_from_vals(F.col("__v")).alias("simhash16"))
+    )
 
 
 def _simhash_sql() -> str:

@@ -122,12 +122,16 @@ FROM documents GROUP BY lang
 """
 
 
-def lang_id(text: Column) -> Column:
-    """N-gram/marker-word language-ID heuristic: argmax of marker hits,
-    'und' (undetermined) when nothing matches. Deterministic tie-break by
-    language code order."""
-    words = words_col(text)
+def lang_id_from_words(words: Column) -> Column:
+    """N-gram/marker-word language-ID heuristic over a *materialized*
+    words column: argmax of marker hits, 'und' (undetermined) when
+    nothing matches. Deterministic tie-break by language code order.
 
+    Same CSE caveat as shingles_from_words: higher-order-function
+    lambdas get no common-subexpression reuse, so an inline ``words``
+    expression is re-split once per language (r12, measured 2.5× the
+    query under the noop sink) — callers must select the split into a
+    column first."""
     def marker_hits(markers: list[str]) -> Column:
         # NB: plain closure, no default-arg lambda params — PySpark's
         # higher-order functions treat every lambda parameter as a Column
@@ -143,9 +147,17 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def lang_id(text: Column) -> Column:
+    """Single-expression form for tests/small inputs (re-splits per
+    language); hot paths materialize words_col first."""
+    return lang_id_from_words(words_col(text))
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return docs.select(
+        "doc_id", words_col(F.col("text")).alias("__w")
+    ).select("doc_id", lang_id_from_words(F.col("__w")).alias("lang_pred"))
 
 
 def _lang_id_sql() -> str:
