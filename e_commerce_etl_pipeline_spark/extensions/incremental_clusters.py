@@ -577,7 +577,10 @@ def incremental_near_dup_update(
                 ),
                 "canonical_id", "left_semi",
             ).select("vec_id")
-        touched_members = fam_members.unionByName(tc_df).distinct()
+        # no .distinct(): the only consumer is the broadcast semi-join
+        # below, which is duplicate-insensitive — the dedup exchange
+        # bought nothing (r12)
+        touched_members = fam_members.unionByName(tc_df)
     else:
         touched_members = _touched_family_members(prior_p1, touched_old)
     keyed = S.nd_keyed_corpus(spark, sf_dir)
@@ -588,8 +591,14 @@ def incremental_near_dup_update(
         keyed.join(F.broadcast(touched_members), "vec_id", "left_semi")
         .select("t", "bucket")
         .unionByName(batch_keyed.select("t", "bucket"))
-        .distinct()
     )
+    if fast1 is None:
+        # backfill-scale batches can touch most buckets: dedup before
+        # broadcasting. The micro-batch route skips it — the broadcast
+        # semi-join is duplicate-insensitive and the list is bounded by
+        # touched-member rows (batch-scale), so the distinct exchange
+        # only added a stage (r12).
+        affected = affected.distinct()
     # current members of affected buckets with their grown pass-1 family
     # (small-side-first lookups so the corpus-sized assignment is never
     # shuffled), contracted to boundary rows, chained with the WIDE
@@ -676,17 +685,32 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, batch.select("vec_id", "embedding")
     ).localCheckpoint()
 
-    # coverage: prior nodes + full batch corpus (base + twins)
-    expected = prior.select("vec_id").unionByName(
-        batch_near_dup_corpus(batch.select("vec_id", "embedding"))
-        .select("vec_id")
+    # coverage: prior nodes + full batch corpus (base + twins). The
+    # batch-corpus ids are deterministic driver-side values (seed ids
+    # shifted past max_id, twins at +TWIN_OFFSET), so batch coverage is
+    # one bounded IN-filtered count over `updated`; prior coverage folds
+    # into the SAME left join the split check reads — the former
+    # formulation paid a union + twin-synthesis subtree + an anti-join
+    # for the identical numbers (r12, guide §2.4).
+    seed_ids = [r[0] for r in seeds.select("vec_id").collect()]
+    bids = [i + max_id + 1 for i in seed_ids]
+    bids += [i + S.TWIN_OFFSET for i in bids]
+    j = prior.join(updated, "vec_id", "left")
+    prior_cov = j.agg(
+        F.count("*").alias("n_prior"),
+        F.coalesce(
+            F.sum(F.col("canonical_id").isNull().cast("long")), F.lit(0)
+        ).alias("__pm"),
     )
-    missing = expected.join(updated, "vec_id", "left_anti")
+    batch_cov = updated.filter(F.col("vec_id").isin(*bids)).agg(
+        (F.lit(len(bids)).cast("long") - F.count("*")).alias("__bm")
+    )
 
     # merge-monotone: each prior cluster lands in exactly one grown one
+    # (count_distinct ignores the NULLs unmatched prior rows carry, so
+    # the left join reproduces the former inner-join groups exactly)
     splits = (
-        prior.join(updated, "vec_id")
-        .groupBy("prior_cid")
+        j.groupBy("prior_cid")
         .agg(F.count_distinct("canonical_id").alias("n_new"))
         .filter(F.col("n_new") > 1)
     )
@@ -705,8 +729,8 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         updated.agg(F.count("*").alias("n_assigned"))
-        .crossJoin(prior.agg(F.count("*").alias("n_prior")))
-        .crossJoin(missing.agg(F.count("*").alias("coverage_missing")))
+        .crossJoin(prior_cov)
+        .crossJoin(batch_cov)
         .crossJoin(splits.agg(F.count("*").alias("prior_splits")))
         .crossJoin(
             pairs.agg(
@@ -714,6 +738,11 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("canonical_id") == F.col("src_cid")).cast("long")
                 ).alias("src_joined")
             )
+        )
+        .select(
+            "n_assigned", "n_prior",
+            (F.col("__pm") + F.col("__bm")).alias("coverage_missing"),
+            "prior_splits", "src_joined",
         )
         .withColumn("batch_k", F.lit(AUDIT_BATCH_K).cast("long"))
     )
