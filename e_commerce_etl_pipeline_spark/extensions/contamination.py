@@ -241,14 +241,54 @@ def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform(w, lambda x: F.length(x).cast("long")),
                     F.lit(0).cast("long"), lambda a, b: a + b).alias("total_chars"),
     )
-    # (count, gram) per distinct gram — one filter scan per distinct gram
-    p = g.select(
+    # (count, gram) per distinct gram as RUN LENGTHS of the sorted gram
+    # array (r12): the former per-distinct-gram filter scan was
+    # O(distinct_grams × grams) per document — quadratic on
+    # mostly-unique text (measured 2.68 s → 1.57 s noop-sink at sf0.1;
+    # the gap widens with document length). Sorting groups equal grams
+    # into runs, so boundary positions + their gaps ARE the (count,
+    # gram) pairs: the same multiset the distinct+filter form built
+    # (order differs, but every consumer — sum, max, min-of-filtered —
+    # is order-insensitive over exact integers). The DuckDB oracle
+    # keeps the distinct+filter formulation, independently
+    # cross-checking this rewrite. Each level stays a materialized
+    # column (the staging rule above), incl. the boundary array, which
+    # two expressions below consume.
+    s = g.select(
         "doc_id", "lang", "w", "g2", "total_chars",
-        F.transform(
-            F.array_distinct(F.col("g2")),
-            lambda x: F.struct(
-                F.size(F.filter(F.col("g2"), lambda y: y == x)).cast("long").alias("c"),
-                x.alias("g"),
+        F.array_sort(F.col("g2")).alias("sg"),
+    )
+    sg = F.col("sg")
+    n_sg = F.size(sg)
+    bpos_expr = F.when(
+        n_sg >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n_sg),
+            # when/otherwise, not `|`: element_at(sg, 0) raises, and
+            # codegen does not guarantee OR short-circuiting
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(sg, i) != F.element_at(sg, i - 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    b = s.select(
+        "doc_id", "lang", "w", "g2", "total_chars", "sg",
+        bpos_expr.alias("bp"),
+    )
+    bp = F.col("bp")
+    nxt = F.concat(
+        F.slice(bp, 2, F.greatest(F.size(bp) - 1, F.lit(0))),
+        F.when(
+            F.size(bp) >= 1, F.array(F.size(sg) + F.lit(1))
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    p = b.select(
+        "doc_id", "lang", "w", "g2", "total_chars",
+        F.zip_with(
+            bp, nxt,
+            lambda st, e: F.struct(
+                (e - st).cast("long").alias("c"),
+                F.element_at(sg, st).alias("g"),
             ),
         ).alias("pairs"),
     )
