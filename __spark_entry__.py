@@ -15,10 +15,12 @@ curation — first-class per the north star), and the reference-parity
 core ops first. The remaining TPC-H-breadth shapes follow.
 
 Out-of-window entries are NOT unverified: the full registry is
-oracle-checked on every test run by tests/test_full_registry_oracle.py
-(the CI guard — same row/schema/value-hash comparison as the driver,
-all entries, so a window-size or sampling change can't silently drop
-coverage), and per-round full-registry output is committed as
+oracle-checked by tests/test_full_registry_oracle.py (the CI guard —
+same row/schema/value-hash comparison as the driver, all entries, so a
+window-size or sampling change can't silently drop coverage; since r13
+it runs in the SPARK_GRAFT_FULL_SUITE=1 tier executed at round close —
+VERDICT r12 #1 split the suite so the default tier fits the driver's
+verify window), and per-round full-registry output is committed as
 CHECK_ORACLE_FULL_r{N}.txt. Known placement note: the registry's four
 oracle-less, rows-only entries — ``approx_sketch_stats`` (sketches are
 approximate by design), ``near_dup_incremental_update`` (iterative

@@ -7,13 +7,22 @@ regression in an out-of-window query would otherwise only surface when a
 judge re-runs tools/check_oracle.py by hand. This test runs the exact
 same Spark-vs-DuckDB comparison (row count + schema + order-insensitive
 value hash + pandas dtype-kind check) over the FULL registry at sf0.001,
-so every entry stays verified on every test run regardless of window
-placement or sampling.
+so every entry stays verified regardless of window placement or
+sampling. Since r13 it runs in the SPARK_GRAFT_FULL_SUITE=1 tier (round
+close + before any risky change), so the default `pytest tests/` fits
+the driver's verify window (VERDICT r12 #1).
 """
 
 from __future__ import annotations
 
+import pytest
+
 from tools.check_oracle import run_checks
+
+# r13 tier split (VERDICT r12 #1): the 125-entry oracle sweep is the
+# round-close full tier; per-query oracle coverage stays in the
+# driver's own gate + CHECK_ORACLE_FULL_r{N}.txt every round.
+pytestmark = pytest.mark.full_suite
 
 
 def test_every_registry_query_matches_its_oracle(spark):

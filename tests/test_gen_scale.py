@@ -63,6 +63,8 @@ def test_document_copies_share_no_shingles(spark, scaled_dir):
     assert not (sa & sb), "cross-copy shingle overlap — salting broken"
 
 
+# r13 tier split (VERDICT r12 #1): scale-generator skew stress (46 s; generator tooling, not engine code)
+@pytest.mark.full_suite
 def test_hot_pct_plants_join_key_skew(spark, tmp_path):
     """HOT_PCT reroutes ~that share of event rows to user_id 0 without
     changing row counts — the planted hot key the skew bench measures."""

@@ -60,6 +60,8 @@ def test_store_path_equals_frame_path_single_batch(spark, work):
     assert _groups(store.p1_fold()) == _groups(frame_p1)
 
 
+# r13 tier split (VERDICT r12 #1): multi-batch chain + compaction lifecycle (52 s)
+@pytest.mark.full_suite
 def test_chained_batches_and_compact_equal_frame_chain(spark, work):
     w, batches, bits = work
     store = NearDupStore(spark, w, bits)
@@ -198,6 +200,8 @@ def test_stale_layout_reads_name_the_migration_not_a_missing_store(
     assert NS.LAYOUT == 2  # message text above tracks the constant
 
 
+# r13 tier split (VERDICT r12 #1): concurrent-reader/compaction race stress (40 s)
+@pytest.mark.full_suite
 def test_concurrent_reader_survives_one_compact_then_fails_clean(
     spark, work
 ):

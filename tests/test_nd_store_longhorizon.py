@@ -22,6 +22,8 @@ paths see identical member sets per step.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 import random
@@ -34,6 +36,11 @@ from e_commerce_etl_pipeline_spark.extensions.incremental_clusters import (
     incremental_near_dup_update,
 )
 from e_commerce_etl_pipeline_spark.extensions.nd_store import NearDupStore
+
+# r13 tier split (VERDICT r12 #1): 100-batch churn is the round-close
+# full tier (also exercised standalone by tools/run_churn_full.py ->
+# CHURN_r{N}.json).
+pytestmark = pytest.mark.full_suite
 
 DIM = 64  # the corpus convention: sign-LSH tables index up to dim 64
 N_BASE_RANDOM = 30

@@ -52,6 +52,8 @@ def _plan(spark, sf_dir, name):
     return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+# r13 tier split (VERDICT r12 #1): full-registry plan sweep (71 s) — a sweep, like the oracle sweep
+@pytest.mark.full_suite
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     offenders = []
     for name, fn in entrymod.queries().items():

