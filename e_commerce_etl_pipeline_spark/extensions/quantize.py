@@ -81,19 +81,34 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact doubles). Identical ranking, identical output."""
     import numpy as np
 
-    from .similarity import _topk_scored_arrow
+    from ..operators import index_store
+    from .similarity import _emb_table, _topk_scored_arrow
 
     qv = _quantized(spark, sf_dir)
-    rows = qv.filter(F.col("vec_id") < N_QUERIES).select(
-        "vec_id", "q", "qn"
-    ).collect()
-    if not rows:
+
+    # bounded (≤ N_QUERIES) query set, memoized per table fingerprint
+    # like similarity._query_vectors (r13): repeat invocations re-ran
+    # the identical quantize+collect job otherwise
+    def _collect_q():
+        rows = qv.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "q", "qn"
+        ).collect()
+        if not rows:
+            return None
+        return (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([list(r[1]) for r in rows], dtype=np.int64),
+            np.array([r[2] for r in rows], dtype=np.int64),
+        )
+
+    q = index_store.cached_value(
+        spark, _emb_table(sf_dir), "quantized_query_vectors", _collect_q
+    )
+    if q is None:
         return spark.createDataFrame(
             [], "qid long, rank long, neighbor_id long"
         )
-    qids = np.array([r[0] for r in rows], dtype=np.int64)
-    qmat = np.array([list(r[1]) for r in rows], dtype=np.int64)
-    qqn = np.array([r[2] for r in rows], dtype=np.int64)
+    qids, qmat, qqn = q
 
     def score_batch(pdf):
         vmat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
