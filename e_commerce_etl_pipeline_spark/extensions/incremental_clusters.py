@@ -93,6 +93,7 @@ that discipline applied to the cluster index.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -132,7 +133,9 @@ def _tabled_all(df: DataFrame, is_new: bool, bits: int) -> DataFrame:
 
 
 def _new_member_edges(
-    spark: SparkSession, sf_dir: str, batch_corpus: DataFrame, bits: int
+    spark: SparkSession, sf_dir: str, batch_corpus: DataFrame, bits: int,
+    batch_keyed: DataFrame | None = None,
+    batch_id_set: set[int] | None = None,
 ) -> DataFrame:
     """Pass-1 increment: cosine-verified chain edges involving >=1
     batch vector, over ONLY the (table, bucket) pairs the batch
@@ -148,22 +151,69 @@ def _new_member_edges(
     untouched families, turning the stage-2 touched-family scope into
     nearly the whole corpus (measured 40-74 s/batch instead of
     seconds)."""
-    nt = S.with_chain_keys(_tabled_all(batch_corpus, True, bits)).drop(
-        "__new"
-    )
+    # ``batch_keyed``: the caller's already-materialized keyed batch
+    # frame (r13) — the synthesis subtree (limit scan + twin build +
+    # 4-table explode + signature when-chains) used to be re-derived
+    # here AND twice more in stage 2; one localCheckpoint upstream
+    # serves every consumer.
+    nt = batch_keyed if batch_keyed is not None else S.with_chain_keys(
+        _tabled_all(batch_corpus, True, bits)
+    ).drop("__new")
     # affected buckets: a batch is small relative to the corpus, so the
-    # (table, bucket) list broadcasts and the base-side filter is a
-    # broadcast semi-join over the PERSISTED keyed corpus (no wide
-    # re-scan per batch). Caller contract: ``bits`` equals the cached
+    # base-side filter over the PERSISTED keyed corpus never re-scans
+    # wide data per batch. Caller contract: ``bits`` equals the cached
     # frame's tier — the stream refuses on a tier change before calling.
-    touched = nt.select("t", "bucket").distinct()
-    bt = S.nd_keyed_corpus(spark, sf_dir).join(
-        F.broadcast(touched), ["t", "bucket"], "left_semi"
-    )
+    # Micro-batch route (r13): the touched (t, bucket) list is bounded
+    # by N_TABLES·|batch corpus| and nt is already materialized, so one
+    # tiny collect turns the filter into per-table IN lists — the same
+    # ≤1024-value pushdown convention as the nd_store readers — instead
+    # of a distinct-aggregate + broadcast-exchange stage pair per
+    # invocation. Backfill batches keep the broadcast semi-join.
+    bt = None
+    if (
+        batch_keyed is not None  # nt materialized -> collect is trivial
+        and batch_id_set is not None
+        and len(batch_id_set) <= 512
+    ):
+        tb = nt.select("t", "bucket").collect()
+        by_t: dict[int, set] = {}
+        for r in tb:
+            by_t.setdefault(r[0], set()).add(r[1])
+        if len(tb) <= 1024:
+            cond = F.lit(False)
+            for t in sorted(by_t):
+                cond = cond | (
+                    (F.col("t") == t)
+                    & F.col("bucket").isin(*sorted(by_t[t]))
+                )
+            bt = S.nd_keyed_corpus(spark, sf_dir).filter(cond)
+    if bt is None:
+        touched = nt.select("t", "bucket").distinct()
+        bt = S.nd_keyed_corpus(spark, sf_dir).join(
+            F.broadcast(touched), ["t", "bucket"], "left_semi"
+        )
     members = bt.unionByName(nt)
     edges = S.chain_edges_arrow(
         members, ["t", "bucket"], S.NEAR_DUP_CHAIN_W, S.NEAR_DUP_COS
     )
+    if batch_id_set is not None and len(batch_id_set) <= 1024:
+        # the batch id set is already on the caller's driver (the same
+        # bounded set _grow_assignment gets): an IN filter on the narrow
+        # edge list replaces two broadcast-mark joins whose build sides
+        # each re-derived the batch subtree (r13, guide §2.4) — same
+        # predicate, src ∈ S or dst ∈ S
+        ids = sorted(batch_id_set)
+        return edges.filter(
+            F.col("src").isin(*ids) | F.col("dst").isin(*ids)
+        ).select("src", "dst")
+    return _mark_filter_edges(edges, batch_corpus)
+
+
+def _mark_filter_edges(edges: DataFrame, batch_corpus: DataFrame) -> DataFrame:
+    """Backfill-scale batch-id restriction: broadcast-mark both
+    endpoints against the batch id list and keep edges touching >=1
+    batch vector (the pre-r13 shape, retained for batches whose id set
+    exceeds the IN-pushdown threshold)."""
     batch_ids = batch_corpus.select("vec_id")
     ns = batch_ids.withColumnRenamed("vec_id", "src").withColumn(
         "__ns", F.lit(True)
@@ -503,26 +553,46 @@ def incremental_near_dup_update(
     batch_corpus = batch_near_dup_corpus(new_vecs)
     batch_ids = batch_corpus.select("vec_id")
 
-    LAST_TIMINGS.clear()
-    _t = time.time()
-    # tiny (<= N_TABLES * W * |batch corpus|); checkpointed so the
-    # window job runs once across both growth stages
-    new_edges = _new_member_edges(
-        spark, sf_dir, batch_corpus, bits
-    ).localCheckpoint()
-    LAST_TIMINGS["p1_edges"] = time.time() - _t
-    _t = time.time()
-    if prior_p1 is None:
-        prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
-    if prior is None:
-        prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
-
     # base ids were collected above; the corpus twins are synthesized at
     # vec_id + TWIN_OFFSET (batch_near_dup_corpus), so the full batch
     # id set is derived driver-side with no extra job
     batch_id_set = base_vec_ids | {
         i + S.TWIN_OFFSET for i in base_vec_ids
     }
+
+    LAST_TIMINGS.clear()
+    _t = time.time()
+    # The keyed batch frame (twin synthesis + 4-table explode +
+    # signature when-chains over the batch subtree) feeds THREE
+    # consumers — the pass-1 edge kernel here plus stage 2's affected
+    # list and bucket-member union — and Catalyst shares no diamond
+    # subplans, so each consumer re-derived the whole subtree
+    # (including the batch source plan, a sort-limit scan for the
+    # registry entry). One localCheckpoint of the ≤ N_TABLES·|batch
+    # corpus| rows serves all three (r13; distinct from the r12
+    # negative result, which round-tripped the batch through
+    # collect+createDataFrame — this stays distributed, one tiny job).
+    # SPARK_GRAFT_IC_LEGACY=1 restores the r12 shape for paired A/B.
+    _legacy = os.environ.get("SPARK_GRAFT_IC_LEGACY") == "1"
+    if _legacy:
+        batch_keyed = None
+        new_edges = _new_member_edges(
+            spark, sf_dir, batch_corpus, bits
+        ).localCheckpoint()
+    else:
+        batch_keyed = S.with_chain_keys(
+            _tabled_all(batch_corpus, True, bits)
+        ).drop("__new").localCheckpoint()
+        new_edges = _new_member_edges(
+            spark, sf_dir, batch_corpus, bits,
+            batch_keyed=batch_keyed, batch_id_set=batch_id_set,
+        ).localCheckpoint()
+    LAST_TIMINGS["p1_edges"] = time.time() - _t
+    _t = time.time()
+    if prior_p1 is None:
+        prior_p1 = S.near_dup_p1_clusters(spark, sf_dir)
+    if prior is None:
+        prior = S.near_dup_clusters(spark, sf_dir)  # (vec_id, canonical_id)
 
     # ---- stage 1: grow the pass-1 assignment -------------------------
     p1_grown, touched_old, fast1 = _grow_assignment(
@@ -584,9 +654,10 @@ def incremental_near_dup_update(
     else:
         touched_members = _touched_family_members(prior_p1, touched_old)
     keyed = S.nd_keyed_corpus(spark, sf_dir)
-    batch_keyed = S.with_chain_keys(
-        _tabled_all(batch_corpus, True, bits)
-    ).drop("__new")
+    if batch_keyed is None:  # legacy A/B path: re-derive per consumer
+        batch_keyed = S.with_chain_keys(
+            _tabled_all(batch_corpus, True, bits)
+        ).drop("__new")
     affected = (
         keyed.join(F.broadcast(touched_members), "vec_id", "left_semi")
         .select("t", "bucket")
@@ -610,10 +681,25 @@ def incremental_near_dup_update(
     keyed_fam = aff_keyed.join(
         p1_grown.withColumnRenamed("canonical_id", "__fam"), "vec_id", "left"
     ).withColumn("__fam", F.coalesce(F.col("__fam"), F.col("vec_id")))
-    p2_edges = S.chain_edges_arrow(
-        S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
-        S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
-    )
+    if _legacy:
+        p2_edges = S.chain_edges_arrow(
+            S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
+            S.NEAR_DUP_P2_W, S.NEAR_DUP_COS,
+        )
+    else:
+        # ONE exchange for the whole boundary+kernel subtree (r13,
+        # guide §2.4): hash-partitioning on (t, bucket) satisfies the
+        # boundary windows' (t, bucket, __fam) clustering — a strict
+        # subset of the window keys — so repartitioning FIRST lets both
+        # windows and the chain kernel ride the same exchange; the
+        # kernel then only re-sorts within partitions
+        # (pre_partitioned=True) instead of shuffling the boundary rows
+        # a second time.
+        keyed_fam = keyed_fam.repartition(F.col("t"), F.col("bucket"))
+        p2_edges = S.chain_edges_arrow(
+            S.p2_boundary_rows(keyed_fam), ["t", "bucket"],
+            S.NEAR_DUP_P2_W, S.NEAR_DUP_COS, pre_partitioned=True,
+        )
     # materialized HERE so the stage timings tell the truth: this is
     # where the boundary windows + wide kernel actually run
     all_edges = new_edges.unionByName(p2_edges).localCheckpoint()
@@ -693,45 +779,103 @@ def near_dup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation paid a union + twin-synthesis subtree + an anti-join
     # for the identical numbers (r12, guide §2.4).
     seed_ids = [r[0] for r in seeds.select("vec_id").collect()]
-    bids = [i + max_id + 1 for i in seed_ids]
-    bids += [i + S.TWIN_OFFSET for i in bids]
+    base_bids = [i + max_id + 1 for i in seed_ids]
+    bids = base_bids + [i + S.TWIN_OFFSET for i in base_bids]
     j = prior.join(updated, "vec_id", "left")
-    prior_cov = j.agg(
-        F.count("*").alias("n_prior"),
-        F.coalesce(
-            F.sum(F.col("canonical_id").isNull().cast("long")), F.lit(0)
-        ).alias("__pm"),
-    )
-    batch_cov = updated.filter(F.col("vec_id").isin(*bids)).agg(
-        (F.lit(len(bids)).cast("long") - F.count("*")).alias("__bm")
-    )
-
-    # merge-monotone: each prior cluster lands in exactly one grown one
-    # (count_distinct ignores the NULLs unmatched prior rows carry, so
-    # the left join reproduces the former inner-join groups exactly)
-    splits = (
-        j.groupBy("prior_cid")
-        .agg(F.count_distinct("canonical_id").alias("n_new"))
-        .filter(F.col("n_new") > 1)
-    )
-
-    # each batch vector co-clusters with its scaled source
-    pairs = (
-        batch.select("vec_id", "__src_id")
-        .join(updated, "vec_id")
-        .join(
-            updated.select(
-                F.col("vec_id").alias("__src_id"),
-                F.col("canonical_id").alias("src_cid"),
-            ),
-            "__src_id",
+    if os.environ.get("SPARK_GRAFT_IC_LEGACY") == "1":
+        batch_cov = updated.filter(F.col("vec_id").isin(*bids)).agg(
+            (F.lit(len(bids)).cast("long") - F.count("*")).alias("__bm")
         )
-    )
+        upd_stats = updated.agg(
+            F.count("*").alias("n_assigned")
+        ).crossJoin(batch_cov)
+        prior_cov = j.agg(
+            F.count("*").alias("n_prior"),
+            F.coalesce(
+                F.sum(F.col("canonical_id").isNull().cast("long")), F.lit(0)
+            ).alias("__pm"),
+        )
+        splits = (
+            j.groupBy("prior_cid")
+            .agg(F.count_distinct("canonical_id").alias("n_new"))
+            .filter(F.col("n_new") > 1)
+        )
+        prior_stats = prior_cov.crossJoin(
+            splits.agg(F.count("*").alias("prior_splits"))
+        )
+        pairs = (
+            batch.select("vec_id", "__src_id")
+            .join(updated, "vec_id")
+            .join(
+                updated.select(
+                    F.col("vec_id").alias("__src_id"),
+                    F.col("canonical_id").alias("src_cid"),
+                ),
+                "__src_id",
+            )
+        )
+    else:
+        # total count + batch coverage in ONE pass over the checkpointed
+        # assignment (r13): the former pair of aggregates scanned
+        # `updated` twice; an IN-indicator sum equals the filtered
+        # count(*) exactly
+        upd_stats = updated.agg(
+            F.count("*").alias("n_assigned"),
+            (
+                F.lit(len(bids)).cast("long")
+                - F.coalesce(
+                    F.sum(F.col("vec_id").isin(*bids).cast("long")),
+                    F.lit(0),
+                )
+            ).alias("__bm"),
+        )
+        # coverage + merge-monotonicity in ONE pass over j (r13):
+        # Catalyst shares no diamond subplans, so the former plain agg
+        # (coverage) and groupBy agg (splits) each re-ran the
+        # prior ⋈ updated join. Per-prior_cid partials carry all three
+        # numbers: group row count (Σ = n_prior — updated is one row
+        # per vec_id, exactly as the former count(*) saw), NULL-match
+        # count (Σ = coverage misses), and the distinct grown-canonical
+        # count (count_distinct ignores the NULLs unmatched rows carry,
+        # so groups match the former inner-join groups exactly; >1 =
+        # a split cluster).
+        per_cid = j.groupBy("prior_cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("canonical_id").isNull().cast("long")).alias("__nn"),
+            F.count_distinct("canonical_id").alias("__ndist"),
+        )
+        prior_stats = per_cid.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_prior"),
+            F.coalesce(F.sum("__nn"), F.lit(0)).cast("long").alias("__pm"),
+            F.coalesce(
+                F.sum((F.col("__ndist") > 1).cast("long")), F.lit(0)
+            ).cast("long").alias("prior_splits"),
+        )
+        # each batch vector co-clusters with its scaled source: the
+        # batch→source id mapping is ARITHMETIC (bid = src + max_id + 1,
+        # both driver-held), so it is read off the checkpointed
+        # assignment directly instead of re-deriving the batch subtree
+        # and paying a third join (r13, guide §2.4). Inner-join
+        # semantics match: a batch id missing from `updated` was
+        # dropped by the former join too (and is already counted by
+        # batch_cov).
+        pairs = (
+            updated.filter(F.col("vec_id").isin(*base_bids))
+            .select(
+                "canonical_id",
+                (F.col("vec_id") - F.lit(max_id + 1)).alias("__src_id"),
+            )
+            .join(
+                updated.select(
+                    F.col("vec_id").alias("__src_id"),
+                    F.col("canonical_id").alias("src_cid"),
+                ),
+                "__src_id",
+            )
+        )
     return (
-        updated.agg(F.count("*").alias("n_assigned"))
-        .crossJoin(prior_cov)
-        .crossJoin(batch_cov)
-        .crossJoin(splits.agg(F.count("*").alias("prior_splits")))
+        upd_stats
+        .crossJoin(prior_stats)
         .crossJoin(
             pairs.agg(
                 F.sum(

@@ -902,6 +902,7 @@ def chain_edges_arrow(
     w: int,
     threshold: float,
     frame_probe: str | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """W-successor verified chain edges as ONE Arrow pass — no ranking
     window, no W-way self-join, no per-pair JVM expression evaluation.
@@ -939,15 +940,21 @@ def chain_edges_arrow(
 
     ``keyed`` must carry (vec_id, v, norm, *key_cols, __sig, __proj).
     ``frame_probe``: test hook — a directory where each task appends
-    its peak combined-frame row count (asserts the bound holds)."""
+    its peak combined-frame row count (asserts the bound holds).
+    ``pre_partitioned``: the caller guarantees rows sharing key_cols
+    values already live in one partition (e.g. an upstream
+    ``repartition(*key_cols)`` whose exchange a boundary window then
+    rode for free — guide §2.4) — skip this function's own repartition
+    and only sort within partitions; the kernel's correctness needs
+    exactly group-locality + the sort, nothing about which partition a
+    group landed in."""
     import numpy as np
     import pandas as pd
 
-    part = (
-        keyed.select("vec_id", "v", "norm", *key_cols, "__sig", "__proj")
-        .repartition(*[F.col(c) for c in key_cols])
-        .sortWithinPartitions(*key_cols, "__sig", "__proj", "vec_id")
-    )
+    part = keyed.select("vec_id", "v", "norm", *key_cols, "__sig", "__proj")
+    if not pre_partitioned:
+        part = part.repartition(*[F.col(c) for c in key_cols])
+    part = part.sortWithinPartitions(*key_cols, "__sig", "__proj", "vec_id")
 
     def gen(batches):
         carry = None  # previous combined frame's last ≤W rows
