@@ -148,9 +148,14 @@ def main() -> None:
 
     from e_commerce_etl_pipeline_spark.extensions import (
         components as _cmp,
+        contamination as _cont,
+        dedup_fuzzy as _dfz,
+        quality_model as _qm,
         semantic_dedup as _sem,
         similarity as _sim,
+        tfidf as _tfidf,
     )
+    from e_commerce_etl_pipeline_spark.plans import queries as _pq
 
     _prebuild("near_dup_p1", _sim.near_dup_p1_clusters)
     _prebuild("near_dup_clusters", _sim.near_dup_clusters)
@@ -158,6 +163,21 @@ def main() -> None:
     _prebuild("ivf_assignment", _sim.ivf_assignment)
     _prebuild("dedup_clusters", _cmp.dedup_clusters)
     _prebuild("semantic_dedup_cells", _sem.semantic_dedup_cells)
+    # r13 (VERDICT r12 #2): the remaining once-per-snapshot artifact
+    # builds used to land inside whichever timed entry touched the store
+    # first (r12 driver run: benchmark_contamination cold 5.31 s vs warm
+    # 0.29 s, minhash_lsh_pairs 3.04/0.75, cross_source_overlap
+    # 2.80/0.66, copurchase_pairs 2.85/0.61 — mostly shingle/gram/tfidf/
+    # basket/model construction, not query work). Build them here, each
+    # timed into artifact_prebuild, same as the near-dup/IVF artifacts
+    # since r9: the cost stays visible in the output instead of
+    # polluting a query's cold number.
+    _prebuild("real_shingles", _dfz.real_shingles)
+    _prebuild("mutated_shingles", _dfz.mutated_shingles)
+    _prebuild("term_frequencies", _tfidf.term_frequencies)
+    _prebuild("contamination_grams", _cont.contamination_grams)
+    _prebuild("quality_weights", _qm.quality_classifier_weights)
+    _prebuild("basket_items", _pq._basket_items)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -73,7 +73,7 @@ def _ngram_sql(t: str = "text", n: int = NGRAM) -> str:
     )
 
 
-def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted exploded (doc_id, gram-md5) table; the shingling/hashing
     map stage feeds three aggregations (benchmark set, per-doc totals,
     hit counts), so it is materialized once per corpus snapshot —
@@ -96,7 +96,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a held-out eval suite), plus the contamination ratio. Documents
     with zero overlap are excluded (at corpus scale the output is the
     quarantine list, not the corpus)."""
-    grams = _grams(spark, sf_dir)
+    grams = contamination_grams(spark, sf_dir)
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("g").distinct()

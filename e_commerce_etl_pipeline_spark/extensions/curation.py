@@ -595,10 +595,10 @@ def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     no — splits are corpus-sized, this is the one real shuffle), then
     eval grams LEFT SEMI train grams on the digest, then a two-row
     aggregate. Same cost class as the contamination gate itself."""
-    from .contamination import _grams
+    from .contamination import contamination_grams
 
     splits = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
-    grams = _grams(spark, sf_dir).join(splits, "doc_id")
+    grams = contamination_grams(spark, sf_dir).join(splits, "doc_id")
     train_g = (
         grams.filter(F.col("split") == "train").select("g").distinct()
     )
