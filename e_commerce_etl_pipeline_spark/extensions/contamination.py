@@ -258,65 +258,92 @@ def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "w", "g2", "total_chars",
         F.array_sort(F.col("g2")).alias("sg"),
     )
-    sg = F.col("sg")
-    n_sg = F.size(sg)
-    bpos_expr = F.when(
-        n_sg >= 1,
-        F.filter(
-            F.sequence(F.lit(1), n_sg),
-            # when/otherwise, not `|`: element_at(sg, 0) raises, and
-            # codegen does not guarantee OR short-circuiting
-            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
-                F.element_at(sg, i) != F.element_at(sg, i - 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    b = s.select(
-        "doc_id", "lang", "w", "g2", "total_chars", "sg",
-        bpos_expr.alias("bp"),
+    # ONE fold over the sorted grams (r13, VERDICT r12 #8) replaces the
+    # r12 boundary-position / next-boundary / (count, gram) pair arrays
+    # plus their four consumers (dup-char aggregate, max count,
+    # max-count filter, lexicographic min): equal grams are adjacent
+    # after the sort, so a single left-to-right pass tracking the open
+    # run (prev, run) closes each distinct gram's run exactly once and
+    # folds all three statistics as it goes — same exact integers, ~5
+    # fewer materialized per-row arrays. The per-run close updates:
+    # dup += run·(len(prev)−1) when run>1; (bc, bg) takes (run, prev)
+    # when run is STRICTLY larger or ties with a lexicographically
+    # smaller gram — exactly array_min over the max-count grams. This
+    # is a SPARK-side fold (deterministic expression evaluation); the
+    # DuckDB oracle deliberately keeps the r11 distinct+filter
+    # formulation as an independent cross-check (its list_reduce is
+    # non-deterministic under vectorized execution, so the SQL twin
+    # never folds).
+    _zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(None).cast("string").alias("bg"),
     )
-    bp = F.col("bp")
-    nxt = F.concat(
-        F.slice(bp, 2, F.greatest(F.size(bp) - 1, F.lit(0))),
-        F.when(
-            F.size(bp) >= 1, F.array(F.size(sg) + F.lit(1))
-        ).otherwise(F.array().cast("array<int>")),
-    )
-    p = b.select(
-        "doc_id", "lang", "w", "g2", "total_chars",
-        F.zip_with(
-            bp, nxt,
-            lambda st, e: F.struct(
-                (e - st).cast("long").alias("c"),
-                F.element_at(sg, st).alias("g"),
-            ),
-        ).alias("pairs"),
-    )
-    # Two O(grams) passes: max count, then lexicographically smallest gram
-    # among the max-count ones (its CHAR LENGTH enters the ratio, so the
-    # choice must be deterministic). NOT a list_reduce/aggregate fold:
-    # DuckDB 1.0's list_reduce is non-deterministic under vectorized
-    # execution (measured: ~36/500 rows flip between identical runs), so
-    # the portable canon is max + filter-on-materialized-max.
-    dup_chars = F.aggregate(
-        F.col("pairs"), F.lit(0).cast("long"),
-        lambda acc, q: acc + F.when(
-            q["c"] > 1, q["c"] * (F.length(q["g"]) - F.lit(1)).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    t = p.select(
-        "doc_id", "lang", "w", "g2", "total_chars", "pairs",
-        F.array_max(F.transform(F.col("pairs"), lambda q: q["c"])).alias("top_cnt"),
-        dup_chars.alias("dup_chars"),
-    )
-    top_gram = F.array_min(
-        F.transform(
-            F.filter(F.col("pairs"), lambda q: q["c"] == F.col("top_cnt")),
-            lambda q: q["g"],
+
+    def _closed_dup(acc):
+        return acc["dup"] + F.when(
+            acc["run"] > 1,
+            acc["run"] * (F.length(acc["prev"]) - F.lit(1)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _better(acc):
+        # first close always wins (bc starts 0, run >= 1); ties prefer
+        # the lexicographically smaller gram (bg NULL only before the
+        # first close, unreachable on a tie since bc >= 1 then)
+        return (acc["run"] > acc["bc"]) | (
+            (acc["run"] == acc["bc"]) & (acc["prev"] < acc["bg"])
         )
+
+    def _step(acc, x):
+        return (
+            F.when(acc["prev"].isNull(), F.struct(
+                x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                acc["dup"].alias("dup"), acc["bc"].alias("bc"),
+                acc["bg"].alias("bg"),
+            ))
+            .when(x == acc["prev"], F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + F.lit(1)).alias("run"),
+                acc["dup"].alias("dup"), acc["bc"].alias("bc"),
+                acc["bg"].alias("bg"),
+            ))
+            .otherwise(F.struct(
+                x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                _closed_dup(acc).alias("dup"),
+                F.when(_better(acc), acc["run"]).otherwise(acc["bc"])
+                .alias("bc"),
+                F.when(_better(acc), acc["prev"]).otherwise(acc["bg"])
+                .alias("bg"),
+            ))
+        )
+
+    def _finish(acc):
+        # close the last open run; an empty gram array leaves the zero
+        # accumulator (top_cnt 0, top_gram NULL, dup 0 — the empty-g2
+        # outputs are pinned by the size(g2) > 0 guards below, exactly
+        # like the former array_max-over-empty NULL)
+        return F.struct(
+            F.when(acc["prev"].isNotNull(), _closed_dup(acc))
+            .otherwise(acc["dup"]).alias("dup"),
+            F.when(acc["prev"].isNotNull() & _better(acc), acc["run"])
+            .otherwise(acc["bc"]).alias("top_cnt"),
+            F.when(acc["prev"].isNotNull() & _better(acc), acc["prev"])
+            .otherwise(acc["bg"]).alias("top_gram"),
+        )
+
+    t = s.select(
+        "doc_id", "lang", "w", "g2", "total_chars",
+        F.aggregate(F.col("sg"), _zero, _step, _finish).alias("__rs"),
+    ).select(
+        "doc_id", "lang", "w", "g2", "total_chars",
+        F.col("__rs")["top_cnt"].alias("top_cnt"),
+        F.col("__rs")["dup"].alias("dup_chars"),
+        F.col("__rs")["top_gram"].alias("__tg"),
     )
     # gram string length minus the joining space = chars it covers
-    top_chars = F.col("top_cnt") * (F.length(top_gram) - F.lit(1)).cast("long")
+    top_chars = F.col("top_cnt") * (F.length(F.col("__tg")) - F.lit(1)).cast("long")
     out = t.select(
         "doc_id", "lang",
         ((F.size(w) - F.size(F.array_distinct(w))).cast("double")
