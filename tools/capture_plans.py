@@ -1,7 +1,8 @@
-"""Capture .explain('formatted') for registry queries into plans/r12/.
+"""Capture .explain('formatted') for registry queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: 'before' or 'after' (file becomes plans/r12/<query>_<suffix>.txt)
+  suffix: 'before' or 'after' (file becomes plans/<round>/<query>_<suffix>.txt;
+  round from $SPARK_GRAFT_PLANS_ROUND, default r13)
   queries: default = every registry entry except the drained-stream
   lifecycle entries (each of which runs a full stream drain / store
   lifecycle on CONSTRUCTION — their cost story lives in the maintenance
@@ -37,7 +38,8 @@ def main() -> None:
     queries = entrymod.queries()
     names = sys.argv[2:] or [n for n in queries if n not in SKIP_DEFAULT]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         t0 = time.time()
