@@ -352,6 +352,30 @@ FROM documents d JOIN s ON d.lang = s.lang
 """
 
 
+def _cdc_positions(t, v, mask):
+    """1-based boundary window-start positions for one document (int64
+    np.convolve windowed dot products — max term ≤ 0x10FFFF·(ROLL_MOD-1)
+    < 1.2e15, 8-term sum < 9.4e15, fits int64 with headroom; characters
+    are CODE POINTS via utf-32 decode ↔ the oracle's DuckDB ascii()
+    semantics)."""
+    import numpy as np
+
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    if cp.size >= ROLL_W:
+        h = np.convolve(cp, v)[ROLL_W - 1:cp.size] % ROLL_MOD
+        return np.nonzero(h % mask == 0)[0] + 1
+    return np.empty(0, dtype=np.int64)
+
+
+def _roll_weights():
+    # v[j] = B^j mod M, so convolve(cp, v)[W-1+i] = sum_j cp[i+j]*B^(W-1-j)
+    import numpy as np
+
+    return np.array(
+        [pow(ROLL_BASE, j, ROLL_MOD) for j in range(ROLL_W)], dtype=np.int64
+    )
+
+
 def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
     """Content-defined-chunking boundary positions as ONE Arrow pass —
     the rolling-hash hot loop moved out of interpreted higher-order
@@ -359,24 +383,20 @@ def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
     window hash over every char position was ~70% of
     duplicate_chunk_spans' warm time at sf0.1).
 
-    Input (doc_id, text) -> output (doc_id, text, pos array<int>): the
+    Input (doc_id, text) -> output (doc_id, pos array<int>): the
     1-based window-start positions where the ROLL_W-char polynomial
     hash (base ROLL_BASE mod ROLL_MOD) satisfies h % (BOUNDARY_MASK+1)
     == 0 — bit-identical to the expression form it replaces (verified
-    by tests/test_cdc_kernel.py::test_cdc_kernel_matches_expression):
-    the windowed dot products come from one int64 np.convolve per doc
-    (max term ≤ 0x10FFFF·(ROLL_MOD-1) < 1.2e15, 8-term sum < 9.4e15 —
-    same 64-bit headroom argument as the expression), and characters
-    are CODE POINTS (utf-32 decode ↔ the oracle's DuckDB ascii()
-    semantics). Per doc cost is C-speed; the pass is embarrassingly
-    parallel and Arrow-batched."""
+    by tests/test_cdc_kernel.py::test_cdc_kernel_matches_expression).
+    Per doc cost is C-speed; the pass is embarrassingly parallel and
+    Arrow-batched. Since r13 the kernel no longer echoes ``text`` back
+    across the Arrow boundary (guide §4.2 — its one remaining consumer,
+    rolling_fingerprint_docs, needs only the positions; the text column
+    used to be serialized JVM→Python→JVM and then dropped)."""
     import numpy as np
     import pandas as pd
 
-    # v[j] = B^j mod M, so convolve(cp, v)[W-1+i] = sum_j cp[i+j]*B^(W-1-j)
-    v = np.array(
-        [pow(ROLL_BASE, j, ROLL_MOD) for j in range(ROLL_W)], dtype=np.int64
-    )
+    v = _roll_weights()
     mask = BOUNDARY_MASK + 1
 
     def inner(batches):
@@ -390,21 +410,72 @@ def cdc_boundaries_arrow(df: DataFrame) -> DataFrame:
                 if t is None or (isinstance(t, float) and pd.isna(t)):
                     out.append(np.empty(0, dtype=np.int32))
                     continue
-                cp = np.frombuffer(
-                    t.encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
-                if cp.size >= ROLL_W:
-                    h = np.convolve(cp, v)[ROLL_W - 1:cp.size] % ROLL_MOD
-                    pos = (np.nonzero(h % mask == 0)[0] + 1).astype(np.int32)
-                else:
-                    pos = np.empty(0, dtype=np.int32)
-                out.append(pos)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "text": pdf["text"], "pos": out}
-            )
+                out.append(_cdc_positions(t, v, mask).astype(np.int32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pos": out})
 
     return df.select("doc_id", "text").mapInPandas(
-        inner, schema="doc_id long, text string, pos array<int>"
+        inner, schema="doc_id long, pos array<int>"
+    )
+
+
+def cdc_chunk_hashes_arrow(df: DataFrame, min_chunk: int) -> DataFrame:
+    """Content-defined chunk hashes as ONE Arrow pass: boundary
+    detection (same rolling hash as cdc_boundaries_arrow), chunk
+    cutting, the min-length gate and the md5 all happen beside the text
+    in the Python worker, and only narrow (doc_id, chunk_hash,
+    chunk_len) rows cross back over the Arrow boundary (r13, guide
+    §4.2). The r12 form returned (doc_id, text, pos) — full text
+    serialized JVM→Python→JVM — then cut chunks with a
+    transform/element_at expression tree, exploded full chunk STRINGS
+    into rows, and md5'd them in the JVM; every byte of every ≥16-char
+    chunk crossed the explode. Equivalence to that form:
+
+    - cut points: Python slicing is by code point, exactly like Spark's
+      substring, and the positions come from the same utf-32 decode;
+    - the length gate and chunk_len count code points — Spark
+      ``length()`` counts code points too (UTF8String.numChars);
+    - md5 over the chunk's UTF-8 bytes — the JVM ``md5(string)`` casts
+      string→binary as UTF-8 and prints lowercase hex, as hexdigest()
+      does;
+    - NULL text yields no chunks (the expression form produced one NULL
+      chunk that the length gate dropped).
+
+    Pinned by tests/test_cdc_kernel.py::test_chunk_hash_kernel_matches_
+    expression (row-for-row against the r12 expression form)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    v = _roll_weights()
+    mask = BOUNDARY_MASK + 1
+
+    def inner(batches):
+        for pdf in batches:
+            ids, hashes, lens = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    continue
+                pos = _cdc_positions(t, v, mask)
+                b = np.concatenate((
+                    np.zeros(1, dtype=np.int64), pos,
+                    np.array([len(t)], dtype=np.int64),
+                ))
+                for s, e in zip(b[:-1], b[1:]):
+                    if e - s >= min_chunk:
+                        ids.append(doc_id)
+                        hashes.append(
+                            hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                        )
+                        lens.append(e - s)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype="object"),
+                "chunk_len": pd.Series(lens, dtype="int64"),
+            })
+
+    return df.select("doc_id", "text").mapInPandas(
+        inner, schema="doc_id long, chunk_hash string, chunk_len long"
     )
 
 
@@ -426,27 +497,12 @@ def duplicate_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     32), payload a hash + 3 ints. Never pairwise: a chunk shared by k
     docs costs k rows, not k² comparisons."""
     docs = load_table(spark, sf_dir, "documents")
-    # boundary positions from the Arrow CDC kernel (late r8 — this
-    # interpreted-HOF hash loop was ~70% of the query's warm time)
-    based = cdc_boundaries_arrow(docs)
-    bounds = F.concat(
-        F.array(F.lit(0)), F.col("pos"), F.array(F.length("text").cast("int"))
-    )
-    with_bounds = based.select("doc_id", "text", bounds.alias("b"))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("b")) - 1),
-        lambda i: F.substring(
-            F.col("text"),
-            F.element_at(F.col("b"), i) + 1,
-            F.element_at(F.col("b"), i + 1) - F.element_at(F.col("b"), i),
-        ),
-    )
-    exploded = (
-        with_bounds.select("doc_id", F.explode(chunks).alias("chunk"))
-        .filter(F.length("chunk") >= MIN_CHUNK)
-        .select("doc_id", F.md5(F.col("chunk")).alias("chunk_hash"),
-                F.length("chunk").cast("long").alias("chunk_len"))
-    )
+    # one Arrow pass emits narrow (doc_id, chunk_hash, chunk_len) rows
+    # (r13 — the boundary kernel + substring/explode/md5 expression
+    # stage it replaces round-tripped the full text across the Arrow
+    # boundary and exploded whole chunk strings; see
+    # cdc_chunk_hashes_arrow's equivalence notes)
+    exploded = cdc_chunk_hashes_arrow(docs, MIN_CHUNK)
     return (
         exploded.groupBy("chunk_hash")
         .agg(

@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 
 from e_commerce_etl_pipeline_spark.extensions.text import (
     BOUNDARY_MASK,
+    MIN_CHUNK,
     ROLL_BASE,
     ROLL_MOD,
     ROLL_W,
     cdc_boundaries_arrow,
+    cdc_chunk_hashes_arrow,
     duplicate_chunk_spans,
 )
 
@@ -91,6 +93,84 @@ def test_cdc_kernel_matches_expression(spark, sf_dir):
         r["doc_id"]: list(r["pos"])
         for r in cdc_boundaries_arrow(docs.select("doc_id", "text")).collect()
     }
+    assert got == expected
+
+
+def test_chunk_hash_kernel_matches_expression(spark, sf_dir):
+    """The one-pass chunk-hash kernel (r13) must reproduce the r12
+    pipeline — boundary kernel + concat bounds + substring transform +
+    explode + length gate + JVM md5 — row for row (as multisets: the
+    kernel emits per-doc chunks in document order, the old explode did
+    too, but only the multiset is contracted) on the driver corpus.
+    Exercises the code-point slicing, UTF-8 md5, length-gate and
+    NULL/short-text paths against real data."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    based = cdc_boundaries_arrow(docs).join(docs, "doc_id")
+    bounds = F.concat(
+        F.array(F.lit(0)), F.col("pos"), F.array(F.length("text").cast("int"))
+    )
+    with_bounds = based.select("doc_id", "text", bounds.alias("b"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("b")) - 1),
+        lambda i: F.substring(
+            F.col("text"),
+            F.element_at(F.col("b"), i) + 1,
+            F.element_at(F.col("b"), i + 1) - F.element_at(F.col("b"), i),
+        ),
+    )
+    expected = sorted(
+        tuple(r) for r in
+        with_bounds.select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") >= MIN_CHUNK)
+        .select("doc_id", F.md5(F.col("chunk")).alias("chunk_hash"),
+                F.length("chunk").cast("long").alias("chunk_len"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in cdc_chunk_hashes_arrow(docs, MIN_CHUNK).collect()
+    )
+    assert got == expected
+
+
+def test_chunk_hash_kernel_edge_texts(spark):
+    """NULL, empty, short and non-ASCII texts through the chunk kernel
+    vs the same expression pipeline (the sf corpus is ASCII-only)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "short",
+        "",
+        "naïve café — déjà vu ünïcödé, plus padding characters " * 10,
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    based = cdc_boundaries_arrow(docs).join(docs, "doc_id")
+    bounds = F.concat(
+        F.array(F.lit(0)), F.col("pos"), F.array(F.length("text").cast("int"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("b")) - 1),
+        lambda i: F.substring(
+            F.col("text"),
+            F.element_at(F.col("b"), i) + 1,
+            F.element_at(F.col("b"), i + 1) - F.element_at(F.col("b"), i),
+        ),
+    )
+    expected = sorted(
+        tuple(r) for r in
+        based.select("doc_id", "text", bounds.alias("b"))
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") >= MIN_CHUNK)
+        .select("doc_id", F.md5(F.col("chunk")).alias("chunk_hash"),
+                F.length("chunk").cast("long").alias("chunk_len"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in cdc_chunk_hashes_arrow(docs, MIN_CHUNK).collect()
+    )
     assert got == expected
 
 
