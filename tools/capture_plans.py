@@ -18,7 +18,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo from the script location, NOT a hardcoded path: the
+# r13 before-plan capture ran this script from a worktree pinned at the
+# r12-close commit and the hardcoded "/root/repo" silently imported the
+# CURRENT code — every "before" plan was actually an "after" plan until
+# the near_dup file's impossible shape exposed it.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Lifecycle entries whose *construction* runs a full stream drain or
 # store seed/delete/compact; explain() output exists but costs minutes.
