@@ -94,10 +94,19 @@ def main() -> None:
         return spark.read.parquet(f"{src}/{name}.parquet")
 
     def write(df, name, parts):
+        # Output file count scales with the multiplier (r13): the old
+        # fixed counts (documents 8, embeddings 4, ...) capped every
+        # downstream map stage's parallelism at that many input splits
+        # REGARDLESS of core count — the r13 sf10 core-scaling probe
+        # measured text-family 8c→32c ratios ≈1.0 purely because of the
+        # file layout (8 row groups ≤ 8 tasks), which a real corpus at
+        # that scale (thousands of row groups) never exhibits. Cap at
+        # 256 to keep tiny tables from exploding into confetti files.
+        parts = max(parts, min(256, parts * m // 8))
         df.drop("__copy").repartition(parts).write.mode("overwrite").parquet(
             f"{dst}/{name}.parquet"
         )
-        print(f"wrote {name}", flush=True)
+        print(f"wrote {name} ({parts} files)", flush=True)
 
     # key spaces = max_key + 1, read once from the source corpus
     def key_space(name, col):
