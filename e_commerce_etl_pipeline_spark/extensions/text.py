@@ -153,11 +153,47 @@ def lang_id(text: Column) -> Column:
     return lang_id_from_words(words_col(text))
 
 
+def lang_hits(words: Column) -> Column:
+    """Marker-hit counts per language (sorted code order) as ONE array —
+    exactly one filter pass per language over a *materialized* words
+    column. Hot-path companion of lang_from_hits (r13): the sequential
+    argmax above nests each running-max branch twice per level, so its
+    expression tree holds ~2^L copies of the per-language filter pass
+    (L=5 → ~30 passes/row instead of 5; no CSE inside HOF consumers) —
+    measured 2.4× the whole query under the noop sink at sf0.1."""
+    return F.array(*[
+        F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[c])))
+        for c in sorted(LANG_MARKERS)
+    ])
+
+
+def lang_from_hits(hits: Column) -> Column:
+    """Argmax over a *materialized* lang_hits column: the first code (in
+    sorted order) achieving the maximum, 'und' when nothing matched.
+    Equivalent to lang_id_from_words' sequential form: its strict `>`
+    take keeps the earliest code on ties and leaves 'und' iff the max
+    hit count is not > 0 (NULL words give NULL hits under ANSI size();
+    both forms' comparisons then fail to 'und'). Same CSE caveat as
+    every HOF helper here: an
+    inline ``hits`` expression would re-run every filter pass per
+    reference — callers must select lang_hits into a column first."""
+    codes = sorted(LANG_MARKERS)
+    mx = F.array_max(hits)
+    pick = F.lit("und")
+    for i in range(len(codes) - 1, -1, -1):
+        pick = F.when(
+            F.element_at(hits, i + 1) == mx, F.lit(codes[i])
+        ).otherwise(pick)
+    return F.when(mx > 0, pick).otherwise(F.lit("und"))
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", words_col(F.col("text")).alias("__w")
-    ).select("doc_id", lang_id_from_words(F.col("__w")).alias("lang_pred"))
+    return (
+        docs.select("doc_id", words_col(F.col("text")).alias("__w"))
+        .select("doc_id", lang_hits(F.col("__w")).alias("__h"))
+        .select("doc_id", lang_from_hits(F.col("__h")).alias("lang_pred"))
+    )
 
 
 def _lang_id_sql() -> str:

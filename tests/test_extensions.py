@@ -50,6 +50,43 @@ def test_lang_id_markers(spark):
     assert out[0] == "en" and out[1] == "es" and out[2] == "und"
 
 
+def test_lang_hits_argmax_matches_sequential_form(spark):
+    # r13: lang_id_docs materializes one lang_hits array and takes a
+    # linear argmax (lang_from_hits); pin it against the sequential
+    # strict-> form on every edge the argmax rewrite touches: ties
+    # (earliest code wins — 'de de' hits es and zh equally), single and
+    # multi markers, no match, empty text, and NULL text (size(null)
+    # words = -1 per language -> 'und' both ways).
+    from e_commerce_etl_pipeline_spark.extensions.text import (
+        lang_from_hits, lang_hits, lang_id_from_words, words_col,
+    )
+
+    df = spark.createDataFrame(
+        [("the house and the tree of life",),
+         ("el gato y la casa de madera",),
+         ("de de",),            # es vs zh tie -> earliest code (es)
+         ("le le la",),         # fr vs zh overlap on 'le'
+         ("xyzzy qwerty",),     # no marker
+         ("",),                 # empty text
+         (None,)],              # NULL text
+        "text string",
+    )
+    out = (
+        df.select(words_col(F.col("text")).alias("w"))
+        .select("w", lang_hits(F.col("w")).alias("h"))
+        .select(
+            lang_id_from_words(F.col("w")).alias("seq"),
+            lang_from_hits(F.col("h")).alias("fast"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.seq == r.fast, (r.seq, r.fast)
+    assert [r.fast for r in out] == [
+        "en", "es", "es", "fr", "und", "und", "und",
+    ]
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame(
         [("a b c d e", "a b c d e zzz")], "t1 string, t2 string"
