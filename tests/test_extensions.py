@@ -184,6 +184,30 @@ def test_multimodal_decode_stub_raises():
         decode_image(b"\x00")
 
 
+def test_multimodal_vectorized_matches_per_row_codec(spark):
+    # r13: the default-codec path vectorizes with numpy inside the same
+    # mapInPandas kernel; pin it row-for-row against the per-row codec
+    # path (forced by passing _fake_decode under a different identity),
+    # including the empty-payload edge (sum 0, max 0).
+    from e_commerce_etl_pipeline_spark.extensions.multimodal import (
+        _fake_decode, attach_binary, extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", 11), (2, "", 0), (3, "éé", 2)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = attach_binary(docs)
+    fast = {r.doc_id: r for r in extract_features(media).collect()}
+
+    def per_row(p):  # same kernel, different identity -> per-row path
+        return _fake_decode(p)
+
+    slow = {r.doc_id: r for r in extract_features(media, codec=per_row).collect()}
+    assert fast == slow
+    assert fast[2].n_bytes == 0 and fast[2].sum_bytes == 0 and fast[2].max_byte == 0
+
+
 def test_sample_frames(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     media = attach_binary(docs)
